@@ -1,0 +1,380 @@
+"""PyTorch-checkpoint -> Flax-params converter.
+
+Handles every layout hazard called out in the survey (§5 "Checkpoint"):
+  * torch ``nn.Linear`` stores (out, in) -> Flax kernel is its transpose.
+  * HF ``Conv1D`` stores (in, out) -> maps to the Flax kernel directly
+    (reference gpt.py:253-254, components.py:87-88).
+  * torch ``nn.MultiheadAttention`` packs q/k/v into one ``in_proj``.
+  * patchify ``Conv2d`` (O, 3, p, p) -> our matmul kernel (p*p*3, O).
+  * T5 relative bias lives only in block 0 (prompt_encoder.py:151-155).
+  * per-view ``ModuleDict``s keyed ``front``/``top`` -> stacked (vmapped)
+    kernels with a leading view axis (obj_encoder.py:44-64).
+  * the released ckpts carry a ``policy.`` key prefix (vima/__init__.py:11-14).
+
+All functions consume a *flat* dict of numpy arrays (torch tensors are
+converted up front) and return nested Flax param dicts. Conversion is
+strict: every consumed key is recorded, and the policy-level entry points
+assert full coverage.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence
+
+import numpy as np
+
+
+class StateDict:
+    """Flat name->array view over a torch state_dict with consumption
+    tracking (for strict coverage checks)."""
+
+    def __init__(self, sd: Dict[str, "np.ndarray"]):
+        self._sd = {}
+        for k, v in sd.items():
+            if hasattr(v, "detach"):
+                v = v.detach().cpu().numpy()
+            self._sd[k] = np.asarray(v)
+        self._consumed = set()
+
+    def __call__(self, key: str) -> np.ndarray:
+        if key not in self._sd:
+            raise KeyError(f"missing checkpoint key: {key}")
+        self._consumed.add(key)
+        return self._sd[key]
+
+    def has(self, key: str) -> bool:
+        return key in self._sd
+
+    def unconsumed(self) -> List[str]:
+        return sorted(set(self._sd) - self._consumed)
+
+    def keys(self):
+        return self._sd.keys()
+
+
+# ---------------------------------------------------------------- primitives
+
+def linear(sd: StateDict, prefix: str, bias: bool = True) -> dict:
+    out = {"kernel": sd(f"{prefix}.weight").T}
+    if bias:
+        out["bias"] = sd(f"{prefix}.bias")
+    return out
+
+
+def conv1d(sd: StateDict, prefix: str) -> dict:
+    """HF Conv1D: weight already (in, out)."""
+    return {"kernel": sd(f"{prefix}.weight"), "bias": sd(f"{prefix}.bias")}
+
+
+def layernorm(sd: StateDict, prefix: str) -> dict:
+    return {"scale": sd(f"{prefix}.weight"), "bias": sd(f"{prefix}.bias")}
+
+
+def rmsnorm(sd: StateDict, prefix: str) -> dict:
+    return {"scale": sd(f"{prefix}.weight")}
+
+
+def embedding(sd: StateDict, prefix: str) -> dict:
+    return {"embedding": sd(f"{prefix}.weight")}
+
+
+def stack_trees(trees: Sequence[dict]) -> dict:
+    """Stack identical nested dicts along a new leading axis (per-view vmap)."""
+    first = trees[0]
+    if isinstance(first, dict):
+        return {k: stack_trees([t[k] for t in trees]) for k in first}
+    return np.stack(trees, axis=0)
+
+
+# ------------------------------------------------------------------- modules
+
+def convert_mlp(sd: StateDict, prefix: str, hidden_depth: int, norm_type=None) -> dict:
+    """Reference build_mlp Sequential (vima/nn/utils.py:80-91): Linear at
+    index 0 and then every 3 modules (norm/identity + act between)."""
+    params = {}
+    if hidden_depth == 0:
+        params["layers_0"] = linear(sd, f"{prefix}.0")
+        return params
+    for i in range(hidden_depth + 1):
+        params[f"layers_{i}"] = linear(sd, f"{prefix}.{3 * i}")
+        if norm_type == "layernorm" and i < hidden_depth:
+            params[f"norm_{i}"] = layernorm(sd, f"{prefix}.{3 * i + 1}")
+    return params
+
+
+def convert_vit(sd: StateDict, prefix: str, *, layers: int, patch_size: int, use_cls: bool = True) -> dict:
+    """VisionTransformer / *Rectangular / Gato variants (vit.py:85-191,275-329)."""
+    p = patch_size
+    w = sd(f"{prefix}.conv1.weight")  # (O, 3, p, p)
+    params = {
+        "patch_kernel": w.transpose(2, 3, 1, 0).reshape(p * p * 3, -1),
+        "pos_embed": sd(f"{prefix}.pos_embed"),
+        "ln_pre": layernorm(sd, f"{prefix}.ln_pre"),
+        "ln_post": layernorm(sd, f"{prefix}.ln_post"),
+        "projection": sd(f"{prefix}.projection"),
+    }
+    if use_cls:
+        params["cls_token"] = sd(f"{prefix}.cls_token")
+    for i in range(layers):
+        bp = f"{prefix}.blocks.{i}"
+        params[f"block_{i}"] = {
+            "ln_1": layernorm(sd, f"{bp}.ln_1"),
+            "ln_2": layernorm(sd, f"{bp}.ln_2"),
+            "qkv": {
+                "kernel": sd(f"{bp}.attn.in_proj_weight").T,
+                "bias": sd(f"{bp}.attn.in_proj_bias"),
+            },
+            "out_proj": linear(sd, f"{bp}.attn.out_proj"),
+            "c_fc": linear(sd, f"{bp}.mlp.c_fc"),
+            "c_proj": linear(sd, f"{bp}.mlp.c_proj"),
+        }
+    return params
+
+
+def convert_t5_stack(sd: StateDict, prefix: str, *, num_layers: int) -> dict:
+    """T5 encoder stack (prompt_encoder.py:144-604). ``prefix`` addresses the
+    torch ``T5Stack`` (e.g. ``t5.encoder``)."""
+    params = {
+        "relative_attention_bias": sd(
+            f"{prefix}.block.0.layer.0.SelfAttention.relative_attention_bias.weight"
+        ),
+        "final_layer_norm": rmsnorm(sd, f"{prefix}.final_layer_norm"),
+    }
+    for i in range(num_layers):
+        bp = f"{prefix}.block.{i}"
+        params[f"block_{i}"] = {
+            "SelfAttention": {
+                "q": linear(sd, f"{bp}.layer.0.SelfAttention.q", bias=False),
+                "k": linear(sd, f"{bp}.layer.0.SelfAttention.k", bias=False),
+                "v": linear(sd, f"{bp}.layer.0.SelfAttention.v", bias=False),
+                "o": linear(sd, f"{bp}.layer.0.SelfAttention.o", bias=False),
+            },
+            "self_attn_norm": rmsnorm(sd, f"{bp}.layer.0.layer_norm"),
+            "wi": linear(sd, f"{bp}.layer.1.DenseReluDense.wi", bias=False),
+            "wo": linear(sd, f"{bp}.layer.1.DenseReluDense.wo", bias=False),
+            "ff_norm": rmsnorm(sd, f"{bp}.layer.1.layer_norm"),
+        }
+    return params
+
+
+def convert_gpt_block(sd: StateDict, prefix: str, use_geglu: bool = True) -> dict:
+    """OpenAI-GPT Block (components.py:14-102 / gpt.py:223-268)."""
+    params = {
+        "c_attn": conv1d(sd, f"{prefix}.attn.c_attn"),
+        "c_proj": conv1d(sd, f"{prefix}.attn.c_proj"),
+        "ln_1": layernorm(sd, f"{prefix}.ln_1"),
+        "ln_2": layernorm(sd, f"{prefix}.ln_2"),
+        "mlp_c_fc": conv1d(sd, f"{prefix}.mlp.c_fc"),
+        "mlp_c_proj": conv1d(sd, f"{prefix}.mlp.c_proj"),
+    }
+    if use_geglu:
+        params["mlp_gated"] = linear(sd, f"{prefix}.mlp.gated_layer", bias=False)
+    return params
+
+
+def convert_xattention(sd: StateDict, prefix: str, use_geglu: bool = True) -> dict:
+    params = {
+        "layernorm": layernorm(sd, f"{prefix}.layernorm"),
+        "query": linear(sd, f"{prefix}.query", bias=False),
+        "key_value": linear(sd, f"{prefix}.key_value", bias=False),
+        "attention_out": linear(sd, f"{prefix}.attention_out", bias=False),
+        "ln": layernorm(sd, f"{prefix}.ln"),
+        "linear1": linear(sd, f"{prefix}.linear1", bias=False),
+        "linear2": linear(sd, f"{prefix}.linear2", bias=False),
+    }
+    if use_geglu:
+        params["gated_layer"] = linear(sd, f"{prefix}.gated_layer", bias=False)
+    return params
+
+
+def convert_xattn_gpt(sd: StateDict, prefix: str, *, n_layer: int, use_geglu: bool = True) -> dict:
+    params = {
+        "positions_embed": embedding(sd, f"{prefix}.positions_embed"),
+        "xattn_positions_embed": embedding(sd, f"{prefix}.xattn_positions_embed"),
+    }
+    for i in range(n_layer):
+        params[f"h_{i}"] = convert_gpt_block(sd, f"{prefix}.h.{i}", use_geglu)
+        params[f"xattn_{i}"] = convert_xattention(sd, f"{prefix}.xattns.{i}", use_geglu)
+    return params
+
+
+def convert_gpt_decoder(sd: StateDict, prefix: str, *, n_layer: int, use_geglu: bool = True) -> dict:
+    """HFGPT (gpt.py:15-220); torch prefix addresses the HFGPT module, whose
+    inner model is ``.lm``."""
+    params = {
+        "tokens_embed": embedding(sd, f"{prefix}.lm.tokens_embed"),
+        "positions_embed": embedding(sd, f"{prefix}.lm.positions_embed"),
+    }
+    for i in range(n_layer):
+        params[f"h_{i}"] = convert_gpt_block(sd, f"{prefix}.lm.h.{i}", use_geglu)
+    return params
+
+
+def convert_perceiver_attention_layer(sd: StateDict, prefix: str, is_cross: bool) -> dict:
+    params = {
+        "layernorm1": layernorm(sd, f"{prefix}.attention.self.layernorm1"),
+        "query": linear(sd, f"{prefix}.attention.self.query"),
+        "key": linear(sd, f"{prefix}.attention.self.key"),
+        "value": linear(sd, f"{prefix}.attention.self.value"),
+        "out": linear(sd, f"{prefix}.attention.output.dense"),
+        "ff_layernorm": layernorm(sd, f"{prefix}.layernorm"),
+        "ff_dense1": linear(sd, f"{prefix}.mlp.dense1"),
+        "ff_dense2": linear(sd, f"{prefix}.mlp.dense2"),
+    }
+    if is_cross:
+        params["layernorm2"] = layernorm(sd, f"{prefix}.attention.self.layernorm2")
+    return params
+
+
+def convert_perceiver(sd: StateDict, prefix: str, *, num_self_attends: int) -> dict:
+    """HF PerceiverModel (perceiver.py:25-41). ``prefix`` addresses the
+    ObjectsPerceiverEncoder wrapper; the HF model is ``.model``."""
+    params = {
+        "latents": sd(f"{prefix}.model.embeddings.latents"),
+        "cross_attention": convert_perceiver_attention_layer(
+            sd, f"{prefix}.model.encoder.cross_attention", is_cross=True
+        ),
+    }
+    for i in range(num_self_attends):
+        params[f"self_attends_{i}"] = convert_perceiver_attention_layer(
+            sd, f"{prefix}.model.encoder.self_attends.{i}", is_cross=False
+        )
+    return params
+
+
+def convert_obj_encoder(
+    sd: StateDict, prefix: str, *, views: Sequence[str], vit_layers: int, vit_patch_size: int,
+    bbox_mlp_hidden_depth: int,
+) -> dict:
+    """ObjEncoder (obj_encoder.py:11-99): per-view ModuleDicts -> stacked."""
+    views = sorted(views)
+    return {
+        "cropped_img_encoder": {
+            "vit": convert_vit(
+                sd, f"{prefix}.cropped_img_encoder.vit",
+                layers=vit_layers, patch_size=vit_patch_size, use_cls=True,
+            )
+        },
+        "bbox_mlp": stack_trees(
+            [convert_mlp(sd, f"{prefix}.bbox_mlp.{v}", bbox_mlp_hidden_depth) for v in views]
+        ),
+        "pre_transformer_layer": stack_trees(
+            [linear(sd, f"{prefix}.pre_transformer_layer.{v}") for v in views]
+        ),
+    }
+
+
+def convert_rgb_encoder(
+    sd: StateDict, prefix: str, *, vit_layers: int, vit_patch_size: int, use_cls: bool
+) -> dict:
+    """Gato / rectangular multi-view RGB encoders (obj_encoder.py:102-147,209-246)."""
+    return {
+        "cropped_img_encoder": {
+            "vit": convert_vit(
+                sd, f"{prefix}.cropped_img_encoder.vit",
+                layers=vit_layers, patch_size=vit_patch_size, use_cls=use_cls,
+            )
+        }
+    }
+
+
+def convert_action_embedding(sd: StateDict, prefix: str, keys: Sequence[str], *, has_post_layer: bool) -> dict:
+    params = {}
+    for k in keys:
+        params[f"embed_{k}"] = {"layer": convert_mlp(sd, f"{prefix}._embed_dict.{k}._layer", 1)}
+    if has_post_layer:
+        params["post_layer"] = linear(sd, f"{prefix}._post_layer")
+    return params
+
+
+def convert_action_decoder(sd: StateDict, prefix: str, action_dims: Dict[str, Sequence[int]], *, hidden_depth: int) -> dict:
+    params = {}
+    for k, dims in action_dims.items():
+        head = {}
+        for i in range(len(dims)):
+            head[f"mlp_{i}"] = convert_mlp(sd, f"{prefix}._decoders.{k}.mlps.{i}", hidden_depth)
+        params[f"decoder_{k}"] = head
+    return params
+
+
+# ------------------------------------------------------------------ policies
+
+ACTION_KEYS = ("pose0_position", "pose0_rotation", "pose1_position", "pose1_rotation")
+ACTION_DIMS = {
+    "pose0_position": [50, 100],
+    "pose0_rotation": [50] * 4,
+    "pose1_position": [50, 100],
+    "pose1_rotation": [50] * 4,
+}
+
+
+def strip_prefix(sd: Dict, prefix: str = "policy.") -> Dict:
+    """Strip the training-wrapper prefix (reference vima/__init__.py:11-14)."""
+    out = {}
+    for k, v in sd.items():
+        out[k[len(prefix):] if k.startswith(prefix) else k] = v
+    return out
+
+
+def convert_vima_policy(state_dict: Dict, cfg: Dict, *, t5_num_layers: int = 12, strict: bool = True) -> dict:
+    """Full flagship VIMAPolicy conversion (vima_policy.py:12-114)."""
+    sd = StateDict(strip_prefix(state_dict))
+    params = {
+        "xattn_gpt": convert_xattn_gpt(sd, "xattn_gpt", n_layer=cfg["xf_n_layers"]),
+        "obj_encoder": convert_obj_encoder(
+            sd, "obj_encoder", views=("front", "top"), vit_layers=4, vit_patch_size=16,
+            bbox_mlp_hidden_depth=2,
+        ),
+        "end_effector_encoder": embedding(sd, "end_effector_encoder"),
+        "obs_fusion_layer": linear(sd, "obs_fusion_layer"),
+        "action_encoder": convert_action_embedding(
+            sd, "action_encoder", ACTION_KEYS,
+            has_post_layer=(cfg["embed_dim"] != 1024),
+        ),
+        "action_decoder": convert_action_decoder(sd, "action_decoder", ACTION_DIMS, hidden_depth=2),
+        "prompt_embedding": {"embedding": sd("prompt_embedding._embed_layer.weight")},
+        "t5_prompt_encoder": {
+            "encoder": convert_t5_stack(sd, "t5_prompt_encoder.t5.encoder", num_layers=t5_num_layers)
+        },
+        "prompt_obj_post_layer": convert_mlp(sd, "prompt_obj_post_layer", 2),
+    }
+    if cfg["embed_dim"] != 768:
+        params["t5_prompt_encoder_post_layer"] = linear(
+            sd, "t5_prompt_encoder_post_layer", bias=False
+        )
+    # The t5 shared/input embedding duplicates prompt_embedding in released
+    # ckpts; consume it if present so strict coverage passes.
+    for k in ("t5_prompt_encoder.t5.shared.weight", "t5_prompt_encoder.t5.encoder.embed_tokens.weight"):
+        if sd.has(k):
+            sd(k)
+    if strict:
+        leftover = [k for k in sd.unconsumed() if not _ignorable(k)]
+        if leftover:
+            raise ValueError(f"unconverted checkpoint keys: {leftover[:20]} (+{max(0, len(leftover)-20)} more)")
+    return params
+
+
+def _ignorable(key: str) -> bool:
+    # torch buffers that carry no weights: causal bias, position id ranges.
+    return key.endswith(".bias_buffer") or key.endswith("position_ids") or key.endswith(".attn.bias") or key.endswith("kv_position_ids")
+
+
+def load_policy_from_torch_ckpt(ckpt_path):
+    """torch.load a released VIMA ckpt and return (policy_module, params)."""
+    import torch
+
+    from vima_tpu.policy.vima import VIMAPolicy
+
+    ckpt = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+    cfg = dict(ckpt["cfg"])
+    policy = VIMAPolicy(
+        embed_dim=cfg["embed_dim"],
+        xf_n_layers=cfg["xf_n_layers"],
+        sattn_n_heads=cfg["sattn_n_heads"],
+        xattn_n_heads=cfg["xattn_n_heads"],
+    )
+    params = convert_vima_policy(ckpt["state_dict"], cfg)
+    import jax
+
+    params = jax.tree.map(lambda x: jax.numpy.asarray(x), params)
+    return policy, {"params": params}
