@@ -316,41 +316,129 @@ def strip_prefix(sd: Dict, prefix: str = "policy.") -> Dict:
     return out
 
 
-def convert_vima_policy(state_dict: Dict, cfg: Dict, *, t5_num_layers: int = 12, strict: bool = True) -> dict:
+def convert_vima_policy(
+    state_dict: Dict, cfg: Dict, *, t5_num_layers: int = 12, vit_layers: int = 4, strict: bool = True
+) -> dict:
     """Full flagship VIMAPolicy conversion (vima_policy.py:12-114)."""
     sd = StateDict(strip_prefix(state_dict))
     params = {
         "xattn_gpt": convert_xattn_gpt(sd, "xattn_gpt", n_layer=cfg["xf_n_layers"]),
         "obj_encoder": convert_obj_encoder(
-            sd, "obj_encoder", views=("front", "top"), vit_layers=4, vit_patch_size=16,
+            sd, "obj_encoder", views=("front", "top"), vit_layers=vit_layers, vit_patch_size=16,
             bbox_mlp_hidden_depth=2,
         ),
-        "end_effector_encoder": embedding(sd, "end_effector_encoder"),
         "obs_fusion_layer": linear(sd, "obs_fusion_layer"),
+        **_shared_heads(sd, cfg),
+    }
+    _consume_t5(sd, cfg, params, t5_num_layers)
+    _finish(sd, strict)
+    return params
+
+
+def _finish(sd: StateDict, strict: bool) -> None:
+    if strict:
+        leftover = [k for k in sd.unconsumed() if not _ignorable(k)]
+        if leftover:
+            raise ValueError(
+                f"unconverted checkpoint keys: {leftover[:20]} (+{max(0, len(leftover)-20)} more)"
+            )
+
+
+def _shared_heads(sd: StateDict, cfg: Dict) -> dict:
+    """Components shared by every policy family (action heads, prompt side)."""
+    return {
+        "end_effector_encoder": embedding(sd, "end_effector_encoder"),
         "action_encoder": convert_action_embedding(
-            sd, "action_encoder", ACTION_KEYS,
-            has_post_layer=(cfg["embed_dim"] != 1024),
+            sd, "action_encoder", ACTION_KEYS, has_post_layer=(cfg["embed_dim"] != 1024)
         ),
         "action_decoder": convert_action_decoder(sd, "action_decoder", ACTION_DIMS, hidden_depth=2),
         "prompt_embedding": {"embedding": sd("prompt_embedding._embed_layer.weight")},
-        "t5_prompt_encoder": {
-            "encoder": convert_t5_stack(sd, "t5_prompt_encoder.t5.encoder", num_layers=t5_num_layers)
-        },
         "prompt_obj_post_layer": convert_mlp(sd, "prompt_obj_post_layer", 2),
+    }
+
+
+def _consume_t5(sd: StateDict, cfg: Dict, params: dict, t5_num_layers: int) -> None:
+    params["t5_prompt_encoder"] = {
+        "encoder": convert_t5_stack(sd, "t5_prompt_encoder.t5.encoder", num_layers=t5_num_layers)
     }
     if cfg["embed_dim"] != 768:
         params["t5_prompt_encoder_post_layer"] = linear(
             sd, "t5_prompt_encoder_post_layer", bias=False
         )
-    # The t5 shared/input embedding duplicates prompt_embedding in released
-    # ckpts; consume it if present so strict coverage passes.
-    for k in ("t5_prompt_encoder.t5.shared.weight", "t5_prompt_encoder.t5.encoder.embed_tokens.weight"):
+    for k in (
+        "t5_prompt_encoder.t5.shared.weight",
+        "t5_prompt_encoder.t5.encoder.embed_tokens.weight",
+    ):
         if sd.has(k):
             sd(k)
-    if strict:
-        leftover = [k for k in sd.unconsumed() if not _ignorable(k)]
-        if leftover:
-            raise ValueError(f"unconverted checkpoint keys: {leftover[:20]} (+{max(0, len(leftover)-20)} more)")
+
+
+def convert_gato_policy(
+    state_dict: Dict, cfg: Dict, *, t5_num_layers: int = 12, vit_layers: int = 4, strict: bool = True
+) -> dict:
+    """VIMAGatoPolicy (vima_gato_policy.py:11-118)."""
+    sd = StateDict(strip_prefix(state_dict))
+    params = {
+        "transformer": convert_gpt_decoder(sd, "transformer", n_layer=cfg.get("n_layer", 12)),
+        "prompt_sep_token": sd("prompt_sep_token"),
+        "obj_encoder": convert_rgb_encoder(
+            sd, "obj_encoder", vit_layers=vit_layers, vit_patch_size=32, use_cls=False
+        ),
+        "obs_fusion_layer": linear(sd, "obs_fusion_layer"),
+        **_shared_heads(sd, cfg),
+    }
+    _consume_t5(sd, cfg, params, t5_num_layers)
+    _finish(sd, strict)
+    return params
+
+
+def convert_gpt_policy(
+    state_dict: Dict, cfg: Dict, *, t5_num_layers: int = 12, vit_layers: int = 4, strict: bool = True
+) -> dict:
+    """VIMAGPTPolicy (vima_gpt_policy.py:11-117)."""
+    sd = StateDict(strip_prefix(state_dict))
+    params = {
+        "transformer": convert_gpt_decoder(sd, "transformer", n_layer=cfg.get("n_layer", 12)),
+        "prompt_sep_token": sd("prompt_sep_token"),
+        "obj_encoder": convert_rgb_encoder(
+            sd, "obj_encoder", vit_layers=vit_layers, vit_patch_size=32, use_cls=True
+        ),
+        "obs_fusion_layer": linear(sd, "obs_fusion_layer"),
+        **_shared_heads(sd, cfg),
+    }
+    _consume_t5(sd, cfg, params, t5_num_layers)
+    _finish(sd, strict)
+    return params
+
+
+def convert_flamingo_policy(
+    state_dict: Dict,
+    cfg: Dict,
+    *,
+    t5_num_layers: int = 12,
+    vit_layers: int = 4,
+    num_self_attends: int = 4,
+    strict: bool = True,
+) -> dict:
+    """VIMAFlamingoPolicy (vima_flamingo_policy.py:11-123). Note the
+    reference's perceiver attribute is spelled ``peceiver``
+    (obj_encoder.py:182)."""
+    sd = StateDict(strip_prefix(state_dict))
+    params = {
+        "xattn_gpt": convert_xattn_gpt(sd, "xattn_gpt", n_layer=cfg["dt_n_layers"]),
+        "obj_encoder": {
+            **convert_rgb_encoder(
+                sd, "obj_encoder", vit_layers=vit_layers, vit_patch_size=32, use_cls=False
+            ),
+            "perceiver": convert_perceiver(
+                sd, "obj_encoder.peceiver", num_self_attends=num_self_attends
+            ),
+        },
+        "obs_fusion_layer": linear(sd, "obs_fusion_layer"),
+        **_shared_heads(sd, cfg),
+    }
+    _consume_t5(sd, cfg, params, t5_num_layers)
+    _finish(sd, strict)
     return params
 
 

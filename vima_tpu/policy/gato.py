@@ -1,0 +1,176 @@
+"""VIMA-Gato baseline: decoder-only GPT over one causal stream of
+[prompt | sep | patch-tokens/action interleaved].
+
+Capability parity with reference vima/policy/vima_gato_policy.py:11-326:
+obs = raw RGB patch tokens from both views (GatoMultiViewRGBEncoder),
+learned ``prompt_sep_token``, padding-aware position ids (prompt pads
+frozen at n_valid-1, stream continues from n_valid, reference :156-184).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from vima_tpu.nn.action import ActionDecoder, ActionEmbedding
+from vima_tpu.nn.gpt import GPTDecoder
+from vima_tpu.nn.obj_encoder import GatoMultiViewRGBEncoder
+from vima_tpu.nn.t5 import T5Config, T5PromptEncoder
+from vima_tpu.nn.word_embedding import WordEmbedding
+from vima_tpu.ops.layers import MLP
+from vima_tpu.policy import base
+from vima_tpu.policy.base import ACTION_DIMS, ACTION_EMBED_SPECS, interleave_obs_actions
+
+
+def decoder_stream_position_ids(prompt_mask: jnp.ndarray, L_stream: int) -> jnp.ndarray:
+    """Prompt positions 0..n_valid-1 then frozen at n_valid-1 for pads;
+    stream continues from n_valid (reference vima_gato_policy.py:156-184)."""
+    B, Lp = prompt_mask.shape
+    n_valid = jnp.sum(prompt_mask.astype(jnp.int32), axis=1)  # (B,)
+    prompt_pos = jnp.minimum(jnp.arange(Lp, dtype=jnp.int32)[None], (n_valid - 1)[:, None])
+    stream_pos = n_valid[:, None] + jnp.arange(L_stream, dtype=jnp.int32)[None]
+    return jnp.concatenate([prompt_pos, stream_pos], axis=1)
+
+
+class VIMAGatoPolicy(nn.Module):
+    embed_dim: int
+    n_layer: int = 12
+    n_head: int = 12
+    n_positions: int = 512
+    img_size: tuple = (64, 128)
+    vit_patch_size: int = 32
+    vit_width: int = 768
+    vit_layers: int = 4
+    vit_heads: int = 24
+    t5_cfg: T5Config = T5Config()
+    vocab_size: int = 32128
+    views: tuple = ("front", "top")
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @property
+    def obj_xf_num_queries(self) -> int:
+        gh = self.img_size[0] // self.vit_patch_size
+        gw = self.img_size[1] // self.vit_patch_size
+        return gh * gw * len(self.views)
+
+    def setup(self):
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        self.transformer = GPTDecoder(
+            n_embd=self.embed_dim,
+            n_layer=self.n_layer,
+            n_head=self.n_head,
+            n_positions=self.n_positions,
+            use_geglu=True,
+            name="transformer",
+            **kw,
+        )
+        self.prompt_sep_token = self.param(
+            "prompt_sep_token", nn.initializers.zeros, (self.embed_dim,), self.param_dtype
+        )
+        self.obj_encoder = GatoMultiViewRGBEncoder(
+            emb_dim=self.embed_dim,
+            views=self.views,
+            img_size=self.img_size,
+            vit_patch_size=self.vit_patch_size,
+            vit_width=self.vit_width,
+            vit_layers=self.vit_layers,
+            vit_heads=self.vit_heads,
+            name="obj_encoder",
+            **kw,
+        )
+        self.end_effector_encoder = nn.Embed(
+            2, 2, dtype=self.dtype, param_dtype=self.param_dtype, name="end_effector_encoder"
+        )
+        self.obs_fusion_layer = nn.Dense(self.embed_dim, name="obs_fusion_layer", **kw)
+        self.action_encoder = ActionEmbedding(
+            output_dim=self.embed_dim, embed_specs=dict(ACTION_EMBED_SPECS),
+            name="action_encoder", **kw,
+        )
+        self.action_decoder = ActionDecoder(
+            action_dims={k: list(v) for k, v in ACTION_DIMS.items()},
+            hidden_dim=512, hidden_depth=2, activation="relu", last_layer_gain=0.01,
+            name="action_decoder", **kw,
+        )
+        self.prompt_embedding = WordEmbedding(
+            vocab_size=self.vocab_size, embed_dim=self.t5_cfg.d_model,
+            name="prompt_embedding", **kw,
+        )
+        self.t5_prompt_encoder = T5PromptEncoder(self.t5_cfg, name="t5_prompt_encoder", **kw)
+        if self.embed_dim != self.t5_cfg.d_model:
+            self.t5_prompt_encoder_post_layer = nn.Dense(
+                self.embed_dim, use_bias=False, name="t5_prompt_encoder_post_layer", **kw
+            )
+        else:
+            self.t5_prompt_encoder_post_layer = None
+        self.prompt_obj_post_layer = MLP(
+            hidden_dim=768, output_dim=768, hidden_depth=2,
+            name="prompt_obj_post_layer", **kw,
+        )
+
+    def embed_prompt_words(self, word_batch):
+        return self.prompt_embedding(word_batch)
+
+    def embed_prompt_images(self, image_batch):
+        emb = self.obj_encoder(rgb=image_batch["rgb"])
+        return self.prompt_obj_post_layer(emb)
+
+    def encode_prompt_assembled(self, prompt_tokens, prompt_mask, deterministic: bool = True):
+        out = self.t5_prompt_encoder(
+            prompt_tokens, attention_mask=prompt_mask, deterministic=deterministic
+        )
+        if self.t5_prompt_encoder_post_layer is not None:
+            out = self.t5_prompt_encoder_post_layer(out)
+        return out
+
+    def forward_obs_token(self, rgb: Dict, ee):
+        """rgb: per-view frames; ee: int. Returns (..., img_patch_len, E)
+        (reference :254-263)."""
+        img_feats = self.obj_encoder(rgb=rgb)
+        ee_feats = self.end_effector_encoder(ee)
+        n_q = img_feats.shape[-2]
+        ee_rep = jnp.broadcast_to(
+            ee_feats[..., None, :], ee_feats.shape[:-1] + (n_q, ee_feats.shape[-1])
+        )
+        return self.obs_fusion_layer(
+            jnp.concatenate([img_feats, ee_rep.astype(img_feats.dtype)], axis=-1)
+        )
+
+    def forward_action_token(self, action):
+        return self.action_encoder(base.de_discretize_actions(action))
+
+    def forward_action_decoder(self, predicted_action_tokens):
+        return self.action_decoder(predicted_action_tokens)
+
+    def __call__(
+        self,
+        obs_token: jnp.ndarray,
+        action_token: Optional[jnp.ndarray],
+        prompt_token: jnp.ndarray,
+        prompt_token_mask: jnp.ndarray,
+    ) -> jnp.ndarray:
+        """Stream-first parity API (reference :120-191).
+        obs_token (T, B, Q, E) with Q = img_patch_len."""
+        obs_bf = obs_token.transpose(1, 0, 2, 3)
+        act_bf = None if action_token is None else action_token.transpose(1, 0, 2)
+        prompt_bf = prompt_token.transpose(1, 0, 2)
+        B, T, Q, E = obs_bf.shape
+        T_a = 0 if action_token is None else action_token.shape[0]
+        Lp = prompt_bf.shape[1]
+
+        stream, _ = interleave_obs_actions(obs_bf, jnp.ones((B, T, Q), bool), act_bf)
+        L_stream = T * Q + T_a + 1  # + separator
+        sep = jnp.broadcast_to(
+            self.prompt_sep_token.astype(stream.dtype), (B, 1, E)
+        )
+        tokens = jnp.concatenate([prompt_bf, sep, stream], axis=1)[:, : Lp + L_stream, :]
+        mask = jnp.concatenate(
+            [prompt_token_mask.astype(bool), jnp.ones((B, L_stream), bool)], axis=1
+        )
+        position_ids = decoder_stream_position_ids(prompt_token_mask, L_stream)
+
+        out = self.transformer(tokens, custom_mask=mask, position_ids=position_ids)
+        predicted = out[:, Lp + 1 + Q - 1 :: Q + 1, :]
+        return predicted.transpose(1, 0, 2)

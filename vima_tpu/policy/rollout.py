@@ -1,0 +1,163 @@
+"""TPU-native cached rollout for VIMAPolicy.
+
+The reference recomputes the entire growing sequence every env step with no
+KV cache of any kind (scripts/example.py:111-240, survey §3.3). Here:
+
+  * ``encode_prompt``  — once per episode: assemble prompt embeddings via
+    one gather, run T5, precompute per-layer prompt K/V for every xattn
+    layer, and initialize fixed-capacity self-attention KV caches.
+  * ``rollout_step``   — once per env step: embed the new observation's
+    object tokens + the previous action token as one (Q+1)-token chunk,
+    run the decoder over the chunk against the caches, decode the action.
+
+Per-step decoder cost is O(chunk x capacity) with static shapes — compiled
+once, no recompilation across steps or episodes. Numerics match the parity
+path exactly (same softmax key sets; masked dummy slots consume no
+positions and are excluded from attention).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from vima_tpu.ops.attention import padding_bias_from_mask
+from vima_tpu.policy.base import ACTION_DIMS, masked_position_ids
+from vima_tpu.nn.action import action_mode
+
+
+@struct.dataclass
+class RolloutState:
+    """Per-episode device state (a pytree; donated through jit)."""
+
+    prompt_k: jnp.ndarray  # (n_layer, B, Hx, Lp, Dx)
+    prompt_v: jnp.ndarray
+    prompt_bias: jnp.ndarray  # (B, 1, 1, Lp)
+    cache_k: jnp.ndarray  # (n_layer, B, H, S, D)
+    cache_v: jnp.ndarray
+    slot_mask: jnp.ndarray  # (B, S) bool
+    write_index: jnp.ndarray  # () int32
+    pos_count: jnp.ndarray  # (B,) int32 — valid tokens so far
+    last_action: Dict[str, jnp.ndarray]  # predicted at previous step
+    has_action: jnp.ndarray  # (B,) bool
+
+
+def zero_actions(batch: int) -> Dict[str, jnp.ndarray]:
+    return {
+        "pose0_position": jnp.zeros((batch, 2), jnp.int32),
+        "pose0_rotation": jnp.zeros((batch, 4), jnp.int32),
+        "pose1_position": jnp.zeros((batch, 2), jnp.int32),
+        "pose1_rotation": jnp.zeros((batch, 4), jnp.int32),
+    }
+
+
+@functools.partial(jax.jit, static_argnums=(0, 5))
+def encode_prompt(
+    policy,
+    params,
+    word_batch: jnp.ndarray,
+    image_batch: Dict,
+    gather: Dict[str, jnp.ndarray],
+    capacity: int,
+):
+    """Episode-start prompt encoding + cache init.
+
+    word_batch: (n_words,) int32 token ids.
+    image_batch: dict(cropped_img/bbox/mask per view) with leading (n_imgs, n_objs).
+    gather: dict with
+      ``idx``  (B, Lp) int32 — index into [word_embs; img_embs_flat; zero_row]
+      ``mask`` (B, Lp) bool  — assembled prompt mask (host-computed from
+      token types and per-object masks, reference vima_policy.py:168-231).
+    capacity: self-attn KV capacity S (static).
+    Returns (prompt_tokens (B, Lp, E), RolloutState).
+    """
+    apply = lambda method, *a, **kw: policy.apply(params, *a, method=method, **kw)
+
+    word_embs = apply("embed_prompt_words", word_batch)  # (n_words, d)
+    img_embs = apply("embed_prompt_images", image_batch)  # (n_imgs, Qp, d)
+    d = word_embs.shape[-1]
+    src = jnp.concatenate(
+        [word_embs, img_embs.reshape(-1, d), jnp.zeros((1, d), word_embs.dtype)], axis=0
+    )
+    prompt_tokens = src[gather["idx"]]  # (B, Lp, d)
+    prompt_mask = gather["mask"]
+
+    prompt_tokens = apply("encode_prompt_assembled", prompt_tokens, prompt_mask)
+    pk, pv, pbias = apply("encode_prompt_kv", prompt_tokens, prompt_mask)
+
+    B = prompt_tokens.shape[0]
+    n_layer = policy.xf_n_layers
+    H = policy.sattn_n_heads
+    D = policy.embed_dim // H
+    state = RolloutState(
+        prompt_k=pk,
+        prompt_v=pv,
+        prompt_bias=pbias,
+        cache_k=jnp.zeros((n_layer, B, H, capacity, D), prompt_tokens.dtype),
+        cache_v=jnp.zeros((n_layer, B, H, capacity, D), prompt_tokens.dtype),
+        slot_mask=jnp.zeros((B, capacity), bool),
+        write_index=jnp.int32(0),
+        pos_count=jnp.zeros((B,), jnp.int32),
+        last_action=zero_actions(B),
+        has_action=jnp.zeros((B,), bool),
+    )
+    return prompt_tokens, state
+
+
+@functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
+def rollout_step(policy, params, state: RolloutState, objects: Dict, ee: jnp.ndarray):
+    """One env step. objects: dict(cropped_img (B,n,3,R,R), bbox (B,n,4),
+    mask (B,n) per view); ee: (B,) int. Returns (discrete_actions, new_state)."""
+    apply = lambda method, *a, **kw: policy.apply(params, *a, method=method, **kw)
+
+    obs_tok, obs_mask = apply("forward_obs_token", objects, ee)  # (B, Q, E), (B, Q)
+    act_emb = apply("forward_action_token", state.last_action)  # (B, E)
+
+    chunk = jnp.concatenate([act_emb[:, None, :], obs_tok], axis=1)  # (B, 1+Q, E)
+    chunk_mask = jnp.concatenate(
+        [state.has_action[:, None], obs_mask.astype(bool)], axis=1
+    )  # (B, 1+Q)
+
+    chunk_pos = jnp.clip(
+        state.pos_count[:, None] + jnp.cumsum(chunk_mask.astype(jnp.int32), axis=1) - 1,
+        0,
+        None,
+    )
+
+    slot_mask = jax.lax.dynamic_update_slice(
+        state.slot_mask, chunk_mask, (0, state.write_index)
+    )
+    cache_bias = padding_bias_from_mask(slot_mask)
+
+    out, new_k, new_v = apply(
+        "step_chunk",
+        chunk,
+        chunk_pos,
+        state.prompt_k,
+        state.prompt_v,
+        state.prompt_bias,
+        state.cache_k,
+        state.cache_v,
+        cache_bias,
+        state.write_index,
+    )
+    predicted = out[:, -1, :]  # last obs slot of this step's group
+    logits = apply("forward_action_decoder", predicted)
+    actions = action_mode(logits, {k: list(v) for k, v in ACTION_DIMS.items()})
+    actions = {k: v.astype(jnp.int32) for k, v in actions.items()}
+
+    C = chunk.shape[1]
+    new_state = state.replace(
+        cache_k=new_k,
+        cache_v=new_v,
+        slot_mask=slot_mask,
+        write_index=state.write_index + C,
+        pos_count=state.pos_count + jnp.sum(chunk_mask.astype(jnp.int32), axis=1),
+        last_action=actions,
+        has_action=jnp.ones_like(state.has_action),
+    )
+    return actions, new_state
