@@ -90,9 +90,34 @@ class VIMAGPTPolicy(nn.Module):
         else:
             self.t5_prompt_encoder_post_layer = None
         self.prompt_obj_post_layer = MLP(
-            hidden_dim=768, output_dim=768, hidden_depth=2,
-            name="prompt_obj_post_layer", **kw,
+            hidden_dim=self.t5_cfg.d_model, output_dim=self.t5_cfg.d_model,
+            hidden_depth=2, name="prompt_obj_post_layer", **kw,
         )
+
+    def warmup(self):
+        """Touch every submodule once for full param-tree init."""
+        B, T = 1, 1
+        H, W = self.img_size
+        rgb = {v: jnp.full((B, T, 3, H, W), 128, jnp.uint8) for v in self.views}
+        obs_tok = self.forward_obs_token(rgb, jnp.zeros((B, T), jnp.int32))
+        action = {
+            "pose0_position": jnp.zeros((T, B, 2), jnp.int32),
+            "pose0_rotation": jnp.zeros((T, B, 4), jnp.int32),
+            "pose1_position": jnp.zeros((T, B, 2), jnp.int32),
+            "pose1_rotation": jnp.zeros((T, B, 4), jnp.int32),
+        }
+        self.forward_action_token(action)
+        self.embed_prompt_words(jnp.zeros((1,), jnp.int32))
+        self.embed_prompt_images({"rgb": {v: rgb[v][:, 0] for v in self.views}})
+        Lp = 2
+        prompt = self.encode_prompt_assembled(
+            jnp.zeros((B, Lp, self.t5_cfg.d_model)), jnp.ones((B, Lp), bool)
+        )
+        out = self.__call__(
+            obs_tok.transpose(1, 0, 2), None,
+            prompt.transpose(1, 0, 2), jnp.ones((B, Lp), bool),
+        )
+        return self.forward_action_decoder(out[-1])
 
     def embed_prompt_words(self, word_batch):
         return self.prompt_embedding(word_batch)

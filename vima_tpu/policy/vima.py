@@ -117,12 +117,47 @@ class VIMAPolicy(nn.Module):
         else:
             self.t5_prompt_encoder_post_layer = None
         self.prompt_obj_post_layer = MLP(
-            hidden_dim=768,
-            output_dim=768,
+            hidden_dim=self.t5_cfg.d_model,
+            output_dim=self.t5_cfg.d_model,
             hidden_depth=2,
             name="prompt_obj_post_layer",
             **kw,
         )
+
+    # ------------------------------------------------------------------- init
+
+    def warmup(self):
+        """Touch every submodule once so ``policy.init`` creates the full
+        param tree (used for random init / training-from-scratch)."""
+        B, T, n, R = 1, 1, 1, self.vit_resolution
+        objects = {
+            "cropped_img": {v: jnp.full((B, T, n, 3, R, R), 128, jnp.uint8) for v in self.views},
+            "bbox": {v: jnp.ones((B, T, n, 4), jnp.int32) for v in self.views},
+            "mask": {v: jnp.ones((B, T, n), bool) for v in self.views},
+        }
+        obs_tok, obs_mask = self.forward_obs_token(objects, jnp.zeros((B, T), jnp.int32))
+        action = {
+            "pose0_position": jnp.zeros((T - 1, B, 2), jnp.int32),
+            "pose0_rotation": jnp.zeros((T - 1, B, 4), jnp.int32),
+            "pose1_position": jnp.zeros((T - 1, B, 2), jnp.int32),
+            "pose1_rotation": jnp.zeros((T - 1, B, 4), jnp.int32),
+        }
+        act_tok = self.forward_action_token(action)
+        words = self.embed_prompt_words(jnp.zeros((1,), jnp.int32))
+        imgs = self.embed_prompt_images(
+            {k: {v: arr[:, 0] for v, arr in d.items()} for k, d in objects.items()}
+        )
+        Lp = 2
+        prompt = jnp.zeros((B, Lp, self.t5_cfg.d_model))
+        prompt = self.encode_prompt_assembled(prompt, jnp.ones((B, Lp), bool))
+        out = self.__call__(
+            obs_tok.transpose(1, 0, 2, 3),
+            obs_mask.transpose(1, 0, 2),
+            None,
+            prompt.transpose(1, 0, 2),
+            jnp.ones((B, Lp), bool),
+        )
+        return self.forward_action_decoder(out[-1])
 
     # ------------------------------------------------------------- components
 
