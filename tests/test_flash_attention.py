@@ -1,0 +1,90 @@
+"""Pallas fused-attention kernel vs the XLA attend path (interpret mode on
+CPU; the same kernel runs compiled on TPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vima_tpu.ops import attention
+from vima_tpu.ops.flash_attention import fused_attention
+
+
+def _mk(rng, B, H, Lq, Lk, D):
+    q = rng.normal(size=(B, H, Lq, D)).astype(np.float32)
+    k = rng.normal(size=(B, H, Lk, D)).astype(np.float32)
+    v = rng.normal(size=(B, H, Lk, D)).astype(np.float32)
+    return jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)
+
+
+def xla_ref(q, k, v, **kw):
+    attention.set_flash_enabled(False)
+    try:
+        return attention.attend(q, k, v, **kw)
+    finally:
+        attention.set_flash_enabled(True)
+
+
+@pytest.mark.parametrize(
+    "case",
+    ["plain", "causal", "causal_offset", "key_mask", "bias", "bias_mask", "ragged"],
+)
+def test_fused_matches_xla(case):
+    rng = np.random.default_rng(hash(case) % 2**32)
+    B, H, D = 2, 3, 32
+    Lq, Lk = 128, 128
+    kw_f, kw_x = {}, {}
+    if case == "plain":
+        pass
+    elif case == "causal":
+        kw_f = kw_x = dict(causal=True)
+    elif case == "causal_offset":
+        Lq, Lk = 32, 256
+        kw_f = kw_x = dict(causal=True, q_offset=64)
+    elif case == "key_mask":
+        mask = np.ones((B, Lk), bool)
+        mask[0, 100:] = False
+        mask[1, 50:70] = False
+        kw_f = kw_x = dict(key_mask=jnp.asarray(mask))
+    elif case == "bias":
+        bias = rng.normal(size=(1, H, Lq, Lk)).astype(np.float32)
+        kw_f = kw_x = dict(bias=jnp.asarray(bias))
+    elif case == "bias_mask":
+        bias = rng.normal(size=(1, H, Lq, Lk)).astype(np.float32)
+        mask = np.ones((B, Lk), bool)
+        mask[1, 90:] = False
+        kw_f = kw_x = dict(bias=jnp.asarray(bias), key_mask=jnp.asarray(mask))
+    elif case == "ragged":
+        Lq, Lk = 100, 187  # forces padding
+        mask = np.ones((B, Lk), bool)
+        mask[0, 150:] = False
+        kw_f = kw_x = dict(key_mask=jnp.asarray(mask))
+
+    q, k, v = _mk(rng, B, H, Lq, Lk, D)
+    scale = 1.0 / np.sqrt(D)
+    ref = xla_ref(q, k, v, scale=scale, **kw_x)
+    out = fused_attention(q, k, v, scale=scale, interpret=True, **kw_f)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_fused_traced_q_offset():
+    """q_offset arrives via scalar prefetch — must work traced (KV-cache)."""
+    rng = np.random.default_rng(0)
+    B, H, D = 1, 2, 32
+    Lq, Lk = 16, 128
+    q, k, v = _mk(rng, B, H, Lq, Lk, D)
+    mask = np.zeros((B, Lk), bool)
+    mask[:, :48] = True
+    mask_j = jnp.asarray(mask)
+    scale = 1.0 / np.sqrt(D)
+
+    def f(off):
+        return fused_attention(
+            q, k, v, scale=scale, causal=True, q_offset=off, key_mask=mask_j,
+            interpret=True,
+        )
+
+    out = jax.jit(f)(jnp.int32(32))
+    ref = xla_ref(q, k, v, scale=scale, causal=True, q_offset=32, key_mask=mask_j)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)

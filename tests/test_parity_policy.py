@@ -283,10 +283,9 @@ def test_cached_rollout_matches_full_forward(policies):
     full_out = np.asarray(full_out)
 
     # --- cached path, step by step
-    from vima_tpu.ops.attention import padding_bias_from_mask
     from vima_tpu.policy.base import masked_position_ids
 
-    pk, pv, pbias = ours.apply(
+    pk, pv = ours.apply(
         params, jnp.asarray(prompt_token), jnp.asarray(prompt_mask), method="encode_prompt_kv"
     )
     n_layer, H = CFG["xf_n_layers"], CFG["sattn_n_heads"]
@@ -315,17 +314,16 @@ def test_cached_rollout_matches_full_forward(policies):
             pos_count[:, None] + np.cumsum(chunk_mask, axis=1) - 1, 0, None
         ).astype(np.int32)
         slot_mask[:, write_index : write_index + C_len] = chunk_mask
-        cache_bias = padding_bias_from_mask(jnp.asarray(slot_mask))
         out, cache_k, cache_v = ours.apply(
             params,
             jnp.asarray(chunk),
             jnp.asarray(chunk_pos),
             pk,
             pv,
-            pbias,
+            jnp.asarray(prompt_mask),
             cache_k,
             cache_v,
-            cache_bias,
+            jnp.asarray(slot_mask),
             write_index,
             method="step_chunk",
         )

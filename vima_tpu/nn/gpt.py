@@ -21,7 +21,6 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from vima_tpu.nn.xattn_gpt import GPTBlock
-from vima_tpu.ops.attention import padding_bias_from_mask
 
 
 class GPTDecoder(nn.Module):
@@ -71,9 +70,9 @@ class GPTDecoder(nn.Module):
             position_ids = jnp.arange(L, dtype=jnp.int32)[None]
         x = inputs_embeds + self.positions_embed(jnp.clip(position_ids, 0, None))
         x = self.drop(x, deterministic=deterministic)
-        bias = padding_bias_from_mask(custom_mask) if custom_mask is not None else None
+        key_mask = None if custom_mask is None else custom_mask.astype(bool)
         for block in self.h:
-            x = block(x, bias)
+            x = block(x, key_mask)
         return x
 
     def forward_chunk(
@@ -83,7 +82,7 @@ class GPTDecoder(nn.Module):
         *,
         cache_k: jnp.ndarray,
         cache_v: jnp.ndarray,
-        cache_bias: jnp.ndarray,
+        cache_mask: jnp.ndarray,
         write_index,
     ):
         """Chunk (B, C, E) against cache (n_layer, B, H, S, D);
@@ -91,7 +90,7 @@ class GPTDecoder(nn.Module):
         x = chunk_tokens + self.positions_embed(jnp.clip(chunk_position_ids, 0, None))
         new_ks, new_vs = [], []
         for i, block in enumerate(self.h):
-            x, nk, nv = block.forward_cached(x, cache_k[i], cache_v[i], write_index, cache_bias)
+            x, nk, nv = block.forward_cached(x, cache_k[i], cache_v[i], write_index, cache_mask)
             new_ks.append(nk)
             new_vs.append(nv)
         return x, jnp.stack(new_ks), jnp.stack(new_vs)

@@ -23,7 +23,7 @@ from typing import Any, Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
-from vima_tpu.ops.attention import attend, split_heads, merge_heads, padding_bias_from_mask
+from vima_tpu.ops.attention import attend, split_heads, merge_heads
 from vima_tpu.ops.layers import gelu_exact
 
 
@@ -35,7 +35,7 @@ class PerceiverAttentionLayer(nn.Module):
     param_dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, latents, inputs=None, inputs_bias=None):
+    def __call__(self, latents, inputs=None, inputs_mask=None):
         ln = lambda name: nn.LayerNorm(
             epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype, name=name
         )
@@ -46,10 +46,10 @@ class PerceiverAttentionLayer(nn.Module):
         q_in = ln("layernorm1")(latents)
         if self.is_cross:
             kv_in = ln("layernorm2")(inputs)
-            bias = inputs_bias
+            kmask = inputs_mask
         else:
             kv_in = q_in
-            bias = None
+            kmask = None
 
         q = dense(self.d_model, "query")(q_in)
         k = dense(self.d_model, "key")(kv_in)
@@ -60,7 +60,7 @@ class PerceiverAttentionLayer(nn.Module):
             split_heads(k, self.num_heads),
             split_heads(v, self.num_heads),
             scale=1.0 / (d**0.5),
-            bias=bias,
+            key_mask=kmask,
         )
         attn_out = dense(self.d_model, "out")(merge_heads(ctx))
         attn_out = attn_out + latents  # query residual
@@ -95,7 +95,6 @@ class PerceiverResampler(nn.Module):
         )
         x = jnp.broadcast_to(latents.astype(self.dtype), (B, self.num_latents, self.d_model))
 
-        bias = padding_bias_from_mask(mask) if mask is not None else None
         x = PerceiverAttentionLayer(
             d_model=self.d_model,
             num_heads=self.num_cross_attention_heads,
@@ -103,7 +102,7 @@ class PerceiverResampler(nn.Module):
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="cross_attention",
-        )(x, inputs=inputs, inputs_bias=bias)
+        )(x, inputs=inputs, inputs_mask=mask)
 
         # Shared-weight self-attend block applied num_blocks times
         # (HF PerceiverEncoder.forward loops the same layers).

@@ -82,7 +82,7 @@ class T5Attention(nn.Module):
     param_dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, position_bias=None):
+    def __call__(self, x, position_bias=None, key_mask=None):
         cfg = self.cfg
         inner = cfg.num_heads * cfg.d_kv
         dense = lambda feats, name: nn.Dense(
@@ -92,7 +92,7 @@ class T5Attention(nn.Module):
         k = split_heads(dense(inner, "k")(x), cfg.num_heads)
         v = split_heads(dense(inner, "v")(x), cfg.num_heads)
 
-        out = attend(q, k, v, scale=None, bias=position_bias)
+        out = attend(q, k, v, scale=None, bias=position_bias, key_mask=key_mask)
         return dense(cfg.d_model, "o")(merge_heads(out))
 
 
@@ -117,8 +117,8 @@ class T5Block(nn.Module):
         self.ff_norm = RMSNorm(eps=cfg.layer_norm_epsilon, param_dtype=self.param_dtype, name="ff_norm")
         self.dropout = nn.Dropout(rate=cfg.dropout_rate)
 
-    def __call__(self, x, position_bias, deterministic: bool = True):
-        h = self.attn(self.attn_norm(x), position_bias=position_bias)
+    def __call__(self, x, position_bias, key_mask=None, deterministic: bool = True):
+        h = self.attn(self.attn_norm(x), position_bias=position_bias, key_mask=key_mask)
         x = x + self.dropout(h, deterministic=deterministic)
 
         h = self.ff_norm(x)
@@ -181,12 +181,11 @@ class T5EncoderStack(nn.Module):
         )
         bias = jnp.take(self.rel_bias_table, buckets, axis=0).transpose(2, 0, 1)[None]
         bias = bias.astype(jnp.float32)  # (1, H, L, L)
-        if attention_mask is not None:
-            bias = bias + padding_bias_from_mask(attention_mask.astype(jnp.bool_))
+        key_mask = None if attention_mask is None else attention_mask.astype(jnp.bool_)
 
         x = self.dropout(inputs_embeds, deterministic=deterministic)
         for block in self.blocks:
-            x = block(x, position_bias=bias, deterministic=deterministic)
+            x = block(x, position_bias=bias, key_mask=key_mask, deterministic=deterministic)
         x = self.final_norm(x)
         x = self.dropout(x, deterministic=deterministic)
         return x

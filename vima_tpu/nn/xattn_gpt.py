@@ -31,12 +31,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from vima_tpu.ops.attention import (
-    attend,
-    merge_heads,
-    padding_bias_from_mask,
-    split_heads,
-)
+from vima_tpu.ops.attention import attend, merge_heads, split_heads
 from vima_tpu.ops.layers import gelu_exact
 
 
@@ -74,8 +69,8 @@ class XAttentionLayer(nn.Module):
         k, v = jnp.split(kv, 2, axis=-1)
         return split_heads(k, self.num_heads), split_heads(v, self.num_heads)
 
-    def attend_out(self, q_tokens, k, v, kv_bias):
-        """q_tokens: (B, L, E); k/v: (B, H, Lk, D); kv_bias additive."""
+    def attend_out(self, q_tokens, k, v, kv_mask):
+        """q_tokens: (B, L, E); k/v: (B, H, Lk, D); kv_mask bool (B, Lk)."""
         d = self.dim // self.num_heads
         queries = self.query(self.layernorm(q_tokens))
         ctx = attend(
@@ -83,7 +78,7 @@ class XAttentionLayer(nn.Module):
             k,
             v,
             scale=1.0 / math.sqrt(d),
-            bias=kv_bias,
+            key_mask=kv_mask,
         )
         attn_out = self.attention_out(merge_heads(ctx)) + q_tokens
 
@@ -95,9 +90,9 @@ class XAttentionLayer(nn.Module):
         ff = self.linear2(ff)
         return ff + attn_out
 
-    def __call__(self, q_tokens, kv_tokens, kv_bias):
+    def __call__(self, q_tokens, kv_tokens, kv_mask):
         k, v = self.compute_kv(kv_tokens)
-        return self.attend_out(q_tokens, k, v, kv_bias)
+        return self.attend_out(q_tokens, k, v, kv_mask)
 
 
 class GPTBlock(nn.Module):
@@ -143,16 +138,17 @@ class GPTBlock(nn.Module):
         m = self._mlp(n)
         return self.ln_2(n + m)
 
-    def __call__(self, x, additive_mask=None):
+    def __call__(self, x, key_mask=None):
         q, k, v = self._qkv(x)
         d = self.dim // self.num_heads
-        ctx = attend(q, k, v, scale=1.0 / math.sqrt(d), causal=True, bias=additive_mask)
+        ctx = attend(q, k, v, scale=1.0 / math.sqrt(d), causal=True, key_mask=key_mask)
         return self._finish(x, ctx)
 
-    def forward_cached(self, x, cache_k, cache_v, write_index, cache_bias):
+    def forward_cached(self, x, cache_k, cache_v, write_index, cache_mask):
         """Process chunk ``x`` (B, C, E) against a fixed-capacity cache.
 
-        cache_k/v: (B, H, S, D); the chunk's K/V are written at
+        cache_k/v: (B, H, S, D); cache_mask: bool (B, S) slot-validity mask
+        already including this chunk. The chunk's K/V are written at
         ``write_index`` before attending, so the chunk attends to itself
         causally. Returns (out, new_cache_k, new_cache_v).
         """
@@ -167,7 +163,7 @@ class GPTBlock(nn.Module):
             scale=1.0 / math.sqrt(d),
             causal=True,
             q_offset=write_index,
-            bias=cache_bias,
+            key_mask=cache_mask,
         )
         return self._finish(x, ctx), new_k, new_v
 
@@ -246,16 +242,9 @@ class XAttnGPT(nn.Module):
 
         prompt = self._embed_prompt(prompt_tokens, prompt_position_ids)
 
-        prompt_bias = (
-            padding_bias_from_mask(prompt_mask) if prompt_mask is not None else None
-        )
-        stream_bias = (
-            padding_bias_from_mask(obs_action_masks) if obs_action_masks is not None else None
-        )
-
         for xattn, block in zip(self.xattns, self.h):
-            x = xattn(x, prompt, prompt_bias)
-            x = block(x, stream_bias)
+            x = xattn(x, prompt, prompt_mask)
+            x = block(x, obs_action_masks)
         return x
 
     def encode_prompt_kv(self, prompt_tokens, prompt_position_ids=None):
@@ -277,23 +266,23 @@ class XAttnGPT(nn.Module):
         *,
         prompt_k: jnp.ndarray,
         prompt_v: jnp.ndarray,
-        prompt_bias: jnp.ndarray,
+        prompt_mask: jnp.ndarray,
         cache_k: jnp.ndarray,
         cache_v: jnp.ndarray,
-        cache_bias: jnp.ndarray,
+        cache_mask: jnp.ndarray,
         write_index,
     ):
         """Cached step: chunk (B, C, E) against cache (n_layer, B, H, S, D).
 
-        ``cache_bias`` is the additive padding bias over all S slots and must
-        already account for the chunk's own mask (the caller updates the slot
-        mask before calling). Returns (out, new_cache_k, new_cache_v).
+        ``cache_mask`` is the bool slot-validity mask over all S slots and
+        must already include the chunk's own mask (the caller updates it
+        before calling). Returns (out, new_cache_k, new_cache_v).
         """
         x = chunk_tokens + self.positions_embed(jnp.clip(chunk_position_ids, 0, None))
         new_ks, new_vs = [], []
         for i, (xattn, block) in enumerate(zip(self.xattns, self.h)):
-            x = xattn.attend_out(x, prompt_k[i], prompt_v[i], prompt_bias)
-            x, nk, nv = block.forward_cached(x, cache_k[i], cache_v[i], write_index, cache_bias)
+            x = xattn.attend_out(x, prompt_k[i], prompt_v[i], prompt_mask)
+            x, nk, nv = block.forward_cached(x, cache_k[i], cache_v[i], write_index, cache_mask)
             new_ks.append(nk)
             new_vs.append(nv)
         return x, jnp.stack(new_ks), jnp.stack(new_vs)

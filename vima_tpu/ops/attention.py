@@ -1,29 +1,29 @@
 """Unified scaled-dot-product attention with reference-exact masking semantics.
 
-All four attention flavors the models need route through :func:`attend`:
+All attention flavors the models need route through :func:`attend`:
 
 1. OpenAI-GPT causal self-attention — scale 1/sqrt(d), causal mask applied as
    ``where(allowed, scores, -1e4)`` (the reference's ``w*b + -1e4*(1-b)``,
-   components.py:51-80 / gpt.py:271-301), then an additive padding mask.
+   components.py:51-80 / gpt.py:271-301), plus a key-padding mask.
 2. Prompt cross-attention (XAttention) — scale 1/sqrt(d), additive
-   fp32-min padding mask (components.py:184-256).
-3. T5 encoder self-attention — **no** scaling, additive position bias with
-   the padding mask folded in (prompt_encoder.py:769-800).
+   fp32-min key-padding mask (components.py:184-256).
+3. T5 encoder self-attention — **no** scaling, additive relative-position
+   bias with the padding mask folded in (prompt_encoder.py:769-800).
 4. ViT self-attention (torch nn.MultiheadAttention) — scale 1/sqrt(d), no mask
    (vit.py:199-236).
 
 QK logits and softmax always run in fp32 (parity-critical; every reference
-attention casts q,k to fp32), the probs are cast back to the value dtype for
+attention casts q,k to fp32); probs are cast back to the value dtype for
 the PV matmul so bf16 inference keeps the MXU fed.
 
-On TPU, large-enough shapes are dispatched to the fused Pallas flash kernel
-(vima_tpu.ops.flash_attention); everything else takes the XLA path below,
-which XLA fuses well on its own.
+Dispatch: on TPU, shapes with a large enough score tile route to the fused
+Pallas kernel (vima_tpu.ops.flash_attention) — zero HBM traffic for
+scores/probs; everything else takes the XLA path below (for tiny ViT-crop
+sequences XLA's fusion is already optimal).
 """
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax
@@ -32,8 +32,8 @@ import jax.numpy as jnp
 NEG_1E4 = -1e4  # reference causal mask constant (components.py:63)
 F32_MIN = float(jnp.finfo(jnp.float32).min)  # reference padding mask constant
 
-# Toggled by vima_tpu.ops.flash_attention.enable_flash / tests.
 _USE_FLASH = True
+_FLASH_MIN_SCORE_TILE = 64 * 64
 
 
 def set_flash_enabled(flag: bool) -> None:
@@ -42,22 +42,28 @@ def set_flash_enabled(flag: bool) -> None:
 
 
 def padding_bias_from_mask(mask: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
-    """bool key mask (B, Lk) -> additive bias (B, 1, 1, Lk) with fp32-min fill.
-
-    Matches HF invert_attention_mask semantics used by the reference
-    (components.py:230-256): ``(1 - m) * finfo.min``.
-    """
+    """bool key mask (B, Lk) -> additive bias (B, 1, 1, Lk) with fp32-min fill
+    (HF invert_attention_mask semantics, components.py:230-256)."""
     m = mask.astype(dtype)
     return ((1.0 - m) * F32_MIN)[:, None, None, :]
 
 
 def _causal_allowed(q_len: int, k_len: int, q_offset) -> jnp.ndarray:
-    """Allowed (q, k) pairs for causal attention where query i sits at global
-    position q_offset + i and key j at global position j. Supports traced
-    (dynamic) q_offset for the KV-cache path."""
     q_pos = jax.lax.broadcasted_iota(jnp.int32, (q_len, k_len), 0) + q_offset
     k_pos = jax.lax.broadcasted_iota(jnp.int32, (q_len, k_len), 1)
     return k_pos <= q_pos
+
+
+def _flash_eligible(q, k) -> bool:
+    if not _USE_FLASH:
+        return False
+    try:
+        if jax.default_backend() != "tpu":
+            return False
+    except Exception:
+        return False
+    Lq, Lk = q.shape[2], k.shape[2]
+    return Lq * Lk >= _FLASH_MIN_SCORE_TILE
 
 
 def attend(
@@ -68,30 +74,35 @@ def attend(
     scale: Optional[float],
     causal: bool = False,
     q_offset=None,
+    key_mask: Optional[jnp.ndarray] = None,
     bias: Optional[jnp.ndarray] = None,
     fp32_logits: bool = True,
 ) -> jnp.ndarray:
     """Scaled dot-product attention.
 
     Args:
-      q: (B, H, Lq, D)
-      k, v: (B, H, Lk, D)
-      scale: multiplier on the logits; None means 1.0 (T5 flavor).
-      causal: apply the GPT causal mask as ``where(allowed, w, -1e4)``.
-      q_offset: global position of q[0] (for KV-cache chunks). Defaults to
-        Lk - Lq (standard causal layout). May be a traced scalar.
-      bias: additive fp32 bias broadcastable to (B, H, Lq, Lk) — padding
-        masks and/or T5 relative position bias.
+      q: (B, H, Lq, D); k, v: (B, H, Lk, D).
+      scale: logit multiplier; None means 1.0 (T5 flavor).
+      causal: apply the GPT causal mask (``where(allowed, w, -1e4)``).
+      q_offset: global position of q[0] (KV-cache chunks); defaults to
+        Lk - Lq. May be traced.
+      key_mask: bool (B, Lk) — True = attend; padding gets fp32-min additive.
+      bias: additive fp32 bias broadcastable to (B, H, Lq, Lk) (T5 relative
+        position bias).
       fp32_logits: compute QK^T and softmax in fp32 (reference semantics).
 
     Returns (B, H, Lq, D) in v.dtype.
     """
-    B, H, Lq, D = q.shape
-    Lk = k.shape[2]
-
     out_dtype = v.dtype
-    if _USE_FLASH and not fp32_logits:
-        pass  # placeholder: flash path requires fp32 logits anyway
+    Lq, Lk = q.shape[2], k.shape[2]
+
+    if fp32_logits and _flash_eligible(q, k):
+        from vima_tpu.ops.flash_attention import fused_attention
+
+        return fused_attention(
+            q, k, v, scale=scale, causal=causal, q_offset=q_offset,
+            key_mask=key_mask, bias=bias,
+        )
 
     if fp32_logits:
         q = q.astype(jnp.float32)
@@ -105,6 +116,9 @@ def attend(
         offset = Lk - Lq if q_offset is None else q_offset
         allowed = _causal_allowed(Lq, Lk, offset)
         scores = jnp.where(allowed[None, None], scores, NEG_1E4)
+
+    if key_mask is not None:
+        scores = scores + padding_bias_from_mask(key_mask).astype(scores.dtype)
 
     if bias is not None:
         scores = scores + bias.astype(scores.dtype)

@@ -1,0 +1,198 @@
+"""Fused attention Pallas kernel for TPU.
+
+Design: at this framework's sequence lengths (stream <= 512, prompt <= 256
+— hard caps inherited from the reference, xattn_gpt.py:18,25) the whole K/V
+for one (batch, head) fits comfortably in VMEM, so the optimal kernel is a
+single-pass fused attention: per (b, h, q-block) grid cell, compute the
+full fp32 score row block in VMEM, softmax exactly (no online/streaming
+rescaling needed), and hit the MXU twice (QK^T and PV) — zero HBM traffic
+for scores/probs, which is what the unfused XLA path pays (the probs
+round-trip is the dominant HBM cost at these sizes).
+
+Numerics are bit-compatible with vima_tpu.ops.attention.attend's XLA path:
+fp32 logits, causal fill ``-1e4`` (reference components.py:63), fp32-min
+additive key-padding mask, probs cast to the value dtype before PV.
+
+The causal q_offset for KV-cache chunks arrives as a scalar-prefetch
+argument (SMEM), so the cached rollout path uses the same kernel with a
+traced write index.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_1E4 = -1e4
+F32_MIN = float(jnp.finfo(jnp.float32).min)
+
+
+def _kernel(
+    # scalar prefetch
+    q_offset_ref,
+    # operands (some optional, controlled by flags)
+    *refs,
+    scale: float,
+    causal: bool,
+    has_kmask: bool,
+    has_bias: bool,
+    block_q: int,
+):
+    idx = 0
+    q_ref = refs[idx]; idx += 1
+    k_ref = refs[idx]; idx += 1
+    v_ref = refs[idx]; idx += 1
+    kmask_ref = None
+    bias_ref = None
+    if has_kmask:
+        kmask_ref = refs[idx]; idx += 1
+    if has_bias:
+        bias_ref = refs[idx]; idx += 1
+    o_ref = refs[idx]
+
+    q = q_ref[0, 0].astype(jnp.float32)  # (BQ, D)
+    k = k_ref[0, 0].astype(jnp.float32)  # (Lk, D)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    if scale != 1.0:
+        s = s * scale
+
+    Lk = k.shape[0]
+    bq = q.shape[0]
+    if causal:
+        qi = pl.program_id(2)
+        q_pos = (
+            jax.lax.broadcasted_iota(jnp.int32, (bq, Lk), 0)
+            + qi * block_q
+            + q_offset_ref[0]
+        )
+        k_pos = jax.lax.broadcasted_iota(jnp.int32, (bq, Lk), 1)
+        s = jnp.where(k_pos <= q_pos, s, NEG_1E4)
+
+    if kmask_ref is not None:
+        km = kmask_ref[0].astype(jnp.float32)  # (Lk,)
+        s = s + ((1.0 - km) * F32_MIN)[None, :]
+
+    if bias_ref is not None:
+        s = s + bias_ref[0, 0].astype(jnp.float32)
+
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)
+
+    v = v_ref[0, 0]
+    out = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    o_ref[0, 0] = out.astype(o_ref.dtype)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def fused_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    scale: Optional[float],
+    causal: bool = False,
+    q_offset=None,
+    key_mask: Optional[jnp.ndarray] = None,
+    bias: Optional[jnp.ndarray] = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused attention. q: (B,H,Lq,D); k/v: (B,H,Lk,D);
+    key_mask: bool (B, Lk); bias: (1|B, H, Lq, Lk) additive fp32.
+    Returns (B, H, Lq, D) in v.dtype."""
+    B, H, Lq, D = q.shape
+    Lk = k.shape[2]
+    scale = 1.0 if scale is None else float(scale)
+
+    block_q = min(128, _round_up(Lq, 8))
+    Lq_p = _round_up(Lq, block_q)
+    Lk_p = _round_up(Lk, 128)
+
+    if q_offset is None:
+        q_offset = Lk - Lq
+    q_offset = jnp.asarray([q_offset], dtype=jnp.int32)
+
+    # pad sequence dims; padded keys are masked (or causal-excluded)
+    if Lq_p != Lq:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, Lq_p - Lq), (0, 0)))
+    if Lk_p != Lk:
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, Lk_p - Lk), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, Lk_p - Lk), (0, 0)))
+        if key_mask is None and not causal:
+            key_mask = jnp.ones((B, Lk), bool)
+    if key_mask is not None:
+        key_mask = key_mask.astype(jnp.float32)
+        if key_mask.shape[-1] != Lk_p:
+            key_mask = jnp.pad(key_mask, ((0, 0), (0, Lk_p - Lk)))
+    if bias is not None:
+        bias = bias.astype(jnp.float32)
+        bias = jnp.pad(
+            bias,
+            ((0, 0), (0, 0), (0, Lq_p - bias.shape[2]), (0, Lk_p - bias.shape[3])),
+        )
+
+    grid = (B, H, Lq_p // block_q)
+    in_specs = [
+        pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, *_: (b, h, i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, Lk_p, D), lambda b, h, i, *_: (b, h, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, Lk_p, D), lambda b, h, i, *_: (b, h, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    operands = [q, k, v]
+    if key_mask is not None:
+        in_specs.append(
+            pl.BlockSpec((1, Lk_p), lambda b, h, i, *_: (b, 0), memory_space=pltpu.VMEM)
+        )
+        operands.append(key_mask)
+    if bias is not None:
+        bias_b = bias.shape[0]
+        bias_h = bias.shape[1]
+        in_specs.append(
+            pl.BlockSpec(
+                (1, 1, block_q, Lk_p),
+                lambda b, h, i, *_, bb=bias_b, bh=bias_h: (
+                    b if bb > 1 else 0,
+                    h if bh > 1 else 0,
+                    i,
+                    0,
+                ),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        operands.append(bias)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, 1, block_q, D), lambda b, h, i, *_: (b, h, i, 0), memory_space=pltpu.VMEM
+        ),
+    )
+
+    kernel = functools.partial(
+        _kernel,
+        scale=scale,
+        causal=causal,
+        has_kmask=key_mask is not None,
+        has_bias=bias is not None,
+        block_q=block_q,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, H, Lq_p, D), v.dtype),
+        interpret=interpret,
+    )(q_offset, *operands)
+    return out[:, :, :Lq, :]

@@ -25,7 +25,6 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from vima_tpu.ops.attention import padding_bias_from_mask
 from vima_tpu.policy.base import ACTION_DIMS, masked_position_ids
 from vima_tpu.nn.action import action_mode
 
@@ -36,7 +35,7 @@ class RolloutState:
 
     prompt_k: jnp.ndarray  # (n_layer, B, Hx, Lp, Dx)
     prompt_v: jnp.ndarray
-    prompt_bias: jnp.ndarray  # (B, 1, 1, Lp)
+    prompt_mask: jnp.ndarray  # (B, Lp) bool
     cache_k: jnp.ndarray  # (n_layer, B, H, S, D)
     cache_v: jnp.ndarray
     slot_mask: jnp.ndarray  # (B, S) bool
@@ -87,7 +86,7 @@ def encode_prompt(
     prompt_mask = gather["mask"]
 
     prompt_tokens = apply("encode_prompt_assembled", prompt_tokens, prompt_mask)
-    pk, pv, pbias = apply("encode_prompt_kv", prompt_tokens, prompt_mask)
+    pk, pv = apply("encode_prompt_kv", prompt_tokens, prompt_mask)
 
     B = prompt_tokens.shape[0]
     n_layer = policy.xf_n_layers
@@ -96,7 +95,7 @@ def encode_prompt(
     state = RolloutState(
         prompt_k=pk,
         prompt_v=pv,
-        prompt_bias=pbias,
+        prompt_mask=prompt_mask,
         cache_k=jnp.zeros((n_layer, B, H, capacity, D), prompt_tokens.dtype),
         cache_v=jnp.zeros((n_layer, B, H, capacity, D), prompt_tokens.dtype),
         slot_mask=jnp.zeros((B, capacity), bool),
@@ -108,10 +107,7 @@ def encode_prompt(
     return prompt_tokens, state
 
 
-@functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
-def rollout_step(policy, params, state: RolloutState, objects: Dict, ee: jnp.ndarray):
-    """One env step. objects: dict(cropped_img (B,n,3,R,R), bbox (B,n,4),
-    mask (B,n) per view); ee: (B,) int. Returns (discrete_actions, new_state)."""
+def _rollout_step_core(policy, params, state: RolloutState, objects: Dict, ee: jnp.ndarray):
     apply = lambda method, *a, **kw: policy.apply(params, *a, method=method, **kw)
 
     obs_tok, obs_mask = apply("forward_obs_token", objects, ee)  # (B, Q, E), (B, Q)
@@ -131,7 +127,6 @@ def rollout_step(policy, params, state: RolloutState, objects: Dict, ee: jnp.nda
     slot_mask = jax.lax.dynamic_update_slice(
         state.slot_mask, chunk_mask, (0, state.write_index)
     )
-    cache_bias = padding_bias_from_mask(slot_mask)
 
     out, new_k, new_v = apply(
         "step_chunk",
@@ -139,10 +134,10 @@ def rollout_step(policy, params, state: RolloutState, objects: Dict, ee: jnp.nda
         chunk_pos,
         state.prompt_k,
         state.prompt_v,
-        state.prompt_bias,
+        state.prompt_mask,
         state.cache_k,
         state.cache_v,
-        cache_bias,
+        slot_mask,
         state.write_index,
     )
     predicted = out[:, -1, :]  # last obs slot of this step's group
@@ -161,3 +156,28 @@ def rollout_step(policy, params, state: RolloutState, objects: Dict, ee: jnp.nda
         has_action=jnp.ones_like(state.has_action),
     )
     return actions, new_state
+
+
+@functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
+def rollout_step(policy, params, state: RolloutState, objects: Dict, ee: jnp.ndarray):
+    """One env step. objects: dict(cropped_img (B,n,3,R,R), bbox (B,n,4),
+    mask (B,n) per view); ee: (B,) int. Returns (discrete_actions, new_state)."""
+    return _rollout_step_core(policy, params, state, objects, ee)
+
+
+@functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
+def replay_rollout(policy, params, state: RolloutState, objects_seq: Dict, ee_seq):
+    """Autoregressive rollout over a recorded observation sequence: obs come
+    from the recording, actions feed back from the model (BASELINE config 2).
+    One jit, ``lax.scan`` over steps — zero per-step dispatch.
+
+    objects_seq leaves have leading (T, B, ...); ee_seq: (T, B).
+    Returns (actions with leading (T, B, ...), final_state)."""
+
+    def body(state, inputs):
+        objects, ee = inputs
+        actions, state = _rollout_step_core(policy, params, state, objects, ee)
+        return state, actions
+
+    state, actions = jax.lax.scan(body, state, (objects_seq, ee_seq))
+    return actions, state

@@ -25,7 +25,6 @@ from vima_tpu.nn.t5 import T5Config, T5PromptEncoder
 from vima_tpu.nn.word_embedding import WordEmbedding
 from vima_tpu.nn.xattn_gpt import XAttnGPT
 from vima_tpu.ops.layers import MLP
-from vima_tpu.ops.attention import padding_bias_from_mask
 from vima_tpu.policy import base
 from vima_tpu.policy.base import (
     ACTION_DIMS,
@@ -253,12 +252,10 @@ class VIMAPolicy(nn.Module):
     # --------------------------------------------------------------- TPU path
 
     def encode_prompt_kv(self, prompt_tokens, prompt_mask):
-        """Per-layer prompt K/V + additive bias, once per episode.
+        """Per-layer prompt K/V, once per episode.
         prompt_tokens: (B, Lp, E) already passed through T5+post layer."""
         prompt_position_ids = masked_position_ids(prompt_mask)
-        k, v = self.xattn_gpt.encode_prompt_kv(prompt_tokens, prompt_position_ids)
-        bias = padding_bias_from_mask(prompt_mask)
-        return k, v, bias
+        return self.xattn_gpt.encode_prompt_kv(prompt_tokens, prompt_position_ids)
 
     def step_chunk(
         self,
@@ -266,10 +263,10 @@ class VIMAPolicy(nn.Module):
         chunk_position_ids,
         prompt_k,
         prompt_v,
-        prompt_bias,
+        prompt_mask,
         cache_k,
         cache_v,
-        cache_bias,
+        cache_mask,
         write_index,
     ):
         """Cached decoder step over one chunk (see XAttnGPT.forward_chunk)."""
@@ -278,9 +275,9 @@ class VIMAPolicy(nn.Module):
             chunk_position_ids,
             prompt_k=prompt_k,
             prompt_v=prompt_v,
-            prompt_bias=prompt_bias,
+            prompt_mask=prompt_mask,
             cache_k=cache_k,
             cache_v=cache_v,
-            cache_bias=cache_bias,
+            cache_mask=cache_mask,
             write_index=write_index,
         )
