@@ -51,6 +51,80 @@ def reference_available() -> bool:
         return False
 
 
+class _patched_pretrained:
+    """Context manager: from_pretrained -> random-init local models."""
+
+    def __init__(self, t5_num_layers, t5_d_ff, vocab_size):
+        import importlib
+
+        import torch
+        from transformers.models.t5.modeling_t5 import T5Config as HFT5Config
+
+        self.pe = importlib.import_module("vima.nn.prompt_encoder.prompt_encoder")
+        self.we = importlib.import_module("vima.nn.prompt_encoder.word_embd")
+        self.hf_cfg = HFT5Config(
+            d_model=768, d_ff=t5_d_ff, num_layers=t5_num_layers, num_heads=12,
+            d_kv=64, vocab_size=vocab_size, dropout_rate=0.1,
+        )
+        self.vocab_size = vocab_size
+        self.torch = torch
+
+    def __enter__(self):
+        pe, we, torch = self.pe, self.we, self.torch
+        vocab = self.vocab_size
+        self._orig_t5 = pe.T5EncoderModel.from_pretrained
+        self._orig_auto = we.AutoModel.from_pretrained
+
+        class _FakeAuto:
+            def __init__(self):
+                self._emb = torch.nn.Embedding(vocab, 768)
+
+            def get_input_embeddings(self):
+                return self._emb
+
+        cfg = self.hf_cfg
+        pe.T5EncoderModel.from_pretrained = classmethod(
+            lambda cls, name, *a, **k: pe.T5EncoderModel(cfg)
+        )
+        we.AutoModel.from_pretrained = staticmethod(lambda name, *a, **k: _FakeAuto())
+        return self
+
+    def __exit__(self, *exc):
+        self.pe.T5EncoderModel.from_pretrained = self._orig_t5
+        self.we.AutoModel.from_pretrained = self._orig_auto
+        return False
+
+
+def build_reference_policy(
+    family: str,
+    *,
+    t5_num_layers=2,
+    t5_d_ff=1024,
+    vocab_size=100,
+    seed=0,
+    **ctor_kwargs,
+):
+    """Construct any reference policy family offline with random init.
+
+    family: 'vima' | 'gato' | 'flamingo' | 'gpt'."""
+    load_reference()
+    import torch
+
+    torch.manual_seed(seed)
+    with _patched_pretrained(t5_num_layers, t5_d_ff, vocab_size):
+        import vima.policy as vp
+
+        cls = {
+            "vima": vp.VIMAPolicy,
+            "gato": vp.VIMAGatoPolicy,
+            "flamingo": vp.VIMAFlamingoPolicy,
+            "gpt": vp.VIMAGPTPolicy,
+        }[family]
+        policy = cls(**ctor_kwargs)
+    policy.eval()
+    return policy
+
+
 def build_reference_vima_policy(
     *,
     embed_dim=256,
