@@ -1,0 +1,107 @@
+"""Host bridge tests: obs preprocessing, native resize, closed-loop eval
+with the fake env."""
+
+import numpy as np
+import pytest
+
+from vima_tpu.bridge.fake_env import FakeVimaEnv
+from vima_tpu.bridge.obs_prep import extract_objects, prepare_obs
+from vima_tpu.native.crop_resize import (
+    _resize_area_numpy,
+    crop_pad_resize_batch,
+    native_available,
+    resize_inter_area,
+)
+
+
+def test_extract_objects_geometry():
+    H, W = 64, 96
+    rgb = np.zeros((3, H, W), dtype=np.uint8)
+    segm = np.zeros((H, W), dtype=np.uint8)
+    # object 1: rect at rows 10..19, cols 20..39
+    rgb[:, 10:20, 20:40] = 200
+    segm[10:20, 20:40] = 1
+    # object 2: single pixel -> skipped (reference example.py:408-411)
+    segm[50, 80] = 2
+    crops, bboxes, mask = extract_objects(rgb, segm, [1, 2], max_objs=3)
+    assert mask.tolist() == [True, False, False]
+    xc, yc, h, w = bboxes[0]
+    assert (xc, yc) == ((20 + 39) // 2, (10 + 19) // 2)
+    assert (h, w) == (9, 19)  # max-min (reference uses exclusive diff)
+    assert crops[0].max() > 0 and crops[1].max() == 0
+
+
+def test_resize_matches_cv2():
+    cv2 = pytest.importorskip("cv2")
+    rng = np.random.default_rng(0)
+    for sh, sw in [(100, 73), (33, 50), (64, 64), (20, 11), (5, 5)]:
+        img = rng.integers(0, 256, size=(sh, sw, 3)).astype(np.uint8)
+        ref = cv2.resize(img, (32, 32), interpolation=cv2.INTER_AREA).astype(int)
+        got_np = _resize_area_numpy(img, 32, 32).astype(int)
+        assert np.abs(got_np - ref).max() <= 1, (sh, sw)
+        if native_available():
+            got_nat = resize_inter_area(img, 32, 32).astype(int)
+            assert np.abs(got_nat - ref).max() <= 1, (sh, sw)
+
+
+@pytest.mark.skipif(not native_available(), reason="native lib not built")
+def test_native_crop_pad_resize_batch():
+    rng = np.random.default_rng(1)
+    frame = rng.integers(0, 256, size=(3, 64, 96)).astype(np.uint8)
+    boxes = np.asarray([[10, 29, 20, 49], [0, 5, 0, 5]], dtype=np.int32)
+    out = crop_pad_resize_batch(frame, boxes, out=32)
+    assert out.shape == (2, 3, 32, 32)
+    # cross-check slot 0 against the python path
+    from vima_tpu.bridge.obs_prep import crop_pad_resize
+
+    ref0 = crop_pad_resize(frame, 10, 29, 20, 49, 32)
+    assert np.abs(out[0].astype(int) - ref0.astype(int)).max() <= 1
+
+
+def test_prepare_obs_shapes():
+    env = FakeVimaEnv(n_objects=3, seed=0)
+    obs = env.reset()
+    prepared = prepare_obs(obs, env.meta_info, max_objs=5)
+    for v in ("front", "top"):
+        assert prepared["objects"]["cropped_img"][v].shape == (1, 5, 3, 32, 32)
+        assert prepared["objects"]["bbox"][v].shape == (1, 5, 4)
+        assert prepared["objects"]["mask"][v].shape == (1, 5)
+        assert prepared["objects"]["mask"][v].sum() >= 1
+    assert prepared["ee"].shape == (1,)
+
+
+def test_closed_loop_fake_env():
+    """Full closed loop: fake env + tiny random policy + fault tolerance."""
+    from vima_tpu.bridge.env_loop import (
+        ResetFaultTolerance,
+        TimeLimit,
+        run_episode_batch,
+    )
+    from vima_tpu.bridge.tokenizer import PromptTokenizer
+    from vima_tpu.nn.t5 import T5Config
+    from vima_tpu.policy import VIMAPolicy, init_params
+
+    policy = VIMAPolicy(
+        embed_dim=64, xf_n_layers=1, sattn_n_heads=4, xattn_n_heads=4,
+        vit_width=32, vit_layers=1, vit_heads=2, vit_output_dim=32,
+        bbox_mlp_hidden_dim=32,
+        t5_cfg=T5Config(d_model=48, d_ff=96, num_layers=1, num_heads=4, d_kv=12, vocab_size=64),
+        vocab_size=64,
+    )
+    params = init_params(policy)
+    tok = PromptTokenizer(tokenizer_path=None, vocab_size=64)
+    # force the offline fallback in CI regardless of HF cache
+    tok._tok = None
+
+    envs = [
+        TimeLimit(ResetFaultTolerance(FakeVimaEnv(seed=i, fail_first_resets=i)), 2)
+        for i in range(2)
+    ]
+    results = run_episode_batch(
+        policy, params, envs, tokenize_prompt=tok, max_objs=4, capacity=64
+    )
+    assert len(results) == 2
+    for r in results:
+        assert r["done"]
+        assert r["steps"] >= 1
+        assert r["p50_step_latency_ms"] is not None

@@ -1,0 +1,187 @@
+"""Host-side observation preprocessing: segmentation -> per-object bbox ->
+crop -> pad-to-square -> 32x32 INTER_AREA resize.
+
+Byte-identical math to reference scripts/example.py:374-473 (and the
+prompt-asset variant :259-311), re-designed for the TPU feed:
+
+  * fixed-capacity output — objects are padded to ``max_objs`` slots with a
+    mask, so device shapes are static (the reference re-pads the whole
+    episode history on the host each step instead, example.py:135-174);
+  * batched over parallel envs;
+  * the crop+resize inner loop can run through the native C++ kernel
+    (vima_tpu/native) when built, with an exact numpy/cv2 fallback.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+try:
+    import cv2
+
+    _HAS_CV2 = True
+except Exception:  # pragma: no cover
+    _HAS_CV2 = False
+
+from vima_tpu.native.crop_resize import resize_inter_area
+
+
+def crop_pad_resize(rgb: np.ndarray, ymin, ymax, xmin, xmax, out_res: int = 32) -> np.ndarray:
+    """Crop (3,H,W) rgb to bbox, zero-pad to square (reference
+    example.py:417-428), INTER_AREA-resize to (3, out_res, out_res)."""
+    cropped = rgb[:, ymin : ymax + 1, xmin : xmax + 1]
+    h, w = cropped.shape[1], cropped.shape[2]
+    if h != w:
+        diff = abs(h - w)
+        pad_before, pad_after = diff // 2, diff - diff // 2
+        if h > w:
+            pad_width = ((0, 0), (0, 0), (pad_before, pad_after))
+        else:
+            pad_width = ((0, 0), (pad_before, pad_after), (0, 0))
+        cropped = np.pad(cropped, pad_width, mode="constant", constant_values=0)
+    hwc = np.transpose(cropped, (1, 2, 0))
+    if _HAS_CV2:
+        resized = cv2.resize(np.ascontiguousarray(hwc), (out_res, out_res), interpolation=cv2.INTER_AREA)
+    else:
+        resized = resize_inter_area(hwc, out_res, out_res)
+    return np.transpose(resized, (2, 0, 1))
+
+
+def extract_objects(
+    rgb: np.ndarray,
+    segm: np.ndarray,
+    obj_ids: Sequence[int],
+    *,
+    max_objs: int,
+    out_res: int = 32,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """One view, one frame: (cropped_imgs (max_objs,3,R,R) uint8,
+    bboxes (max_objs,4) int32 [xc,yc,h,w], mask (max_objs,) bool).
+
+    Objects whose segmentation covers <2 pixels in either axis are skipped
+    (reference example.py:408-411)."""
+    crops = np.zeros((max_objs, 3, out_res, out_res), dtype=np.uint8)
+    bboxes = np.zeros((max_objs, 4), dtype=np.int32)
+    mask = np.zeros((max_objs,), dtype=bool)
+    slot = 0
+    for obj_id in obj_ids:
+        if slot >= max_objs:
+            break
+        ys, xs = np.nonzero(segm == obj_id)
+        if len(xs) < 2 or len(ys) < 2:
+            continue
+        xmin, xmax = int(np.min(xs)), int(np.max(xs))
+        ymin, ymax = int(np.min(ys)), int(np.max(ys))
+        x_center, y_center = (xmin + xmax) / 2, (ymin + ymax) / 2
+        h, w = ymax - ymin, xmax - xmin
+        bboxes[slot] = [int(x_center), int(y_center), int(h), int(w)]
+        crops[slot] = crop_pad_resize(rgb, ymin, ymax, xmin, xmax, out_res)
+        mask[slot] = True
+        slot += 1
+    return crops, bboxes, mask
+
+
+def prepare_obs(
+    obs: Dict,
+    meta: Dict,
+    *,
+    max_objs: int,
+    views: Sequence[str] = ("front", "top"),
+    out_res: int = 32,
+) -> Dict:
+    """Single-env single-frame obs -> fixed-capacity device feed.
+
+    obs: {"rgb": {view: (3,H,W)}, "segm": {view: (H,W)}, "ee": int}
+    Returns {"objects": {cropped_img/bbox/mask per view: (1, max_objs, ...)},
+             "ee": (1,)} — batch axis ready for the jitted rollout step.
+    """
+    views = sorted(views)
+    obj_ids = list(meta["obj_id_to_info"].keys())
+    objects = {"cropped_img": {}, "bbox": {}, "mask": {}}
+    for v in views:
+        crops, bboxes, mask = extract_objects(
+            np.asarray(obs["rgb"][v]),
+            np.asarray(obs["segm"][v]),
+            obj_ids,
+            max_objs=max_objs,
+            out_res=out_res,
+        )
+        objects["cropped_img"][v] = crops[None]
+        objects["bbox"][v] = bboxes[None]
+        objects["mask"][v] = mask[None]
+    return {"objects": objects, "ee": np.asarray([obs["ee"]], dtype=np.int32)}
+
+
+def stack_obs_batch(obs_list: List[Dict]) -> Dict:
+    """Stack per-env prepared obs (each with leading batch 1) into one batch."""
+
+    def rec(items):
+        if isinstance(items[0], dict):
+            return {k: rec([it[k] for it in items]) for k in items[0]}
+        return np.concatenate(items, axis=0)
+
+    return rec(obs_list)
+
+
+def prepare_prompt_assets(
+    prompt_assets: Dict,
+    placeholders_in_order: Sequence[str],
+    *,
+    views: Sequence[str] = ("front", "top"),
+    out_res: int = 32,
+) -> Tuple[Dict, Dict]:
+    """Prompt assets -> per-image crops/bboxes/masks padded to the max object
+    count across assets (reference example.py:259-371).
+
+    placeholders_in_order: asset names in prompt-token order.
+    Returns (image_batch {cropped_img/bbox/mask per view: (n_imgs, n_max, ...)},
+             per-view obj masks for gather-index building)."""
+    views = sorted(views)
+    per_asset = []
+    for name in placeholders_in_order:
+        asset = prompt_assets[name]
+        obj_info = asset["segm"]["obj_info"]
+        if asset["placeholder_type"] == "object":
+            objects = [obj_info["obj_id"]]
+        elif asset["placeholder_type"] == "scene":
+            objects = [info["obj_id"] for info in obj_info]
+        else:
+            raise ValueError(f"unknown placeholder type {asset['placeholder_type']!r}")
+        entry = {}
+        for v in views:
+            rgb = np.asarray(asset["rgb"][v])
+            segm = np.asarray(asset["segm"][v])
+            crops_l, bboxes_l = [], []
+            for obj_id in objects:
+                ys, xs = np.nonzero(segm == obj_id)
+                if len(xs) < 2 or len(ys) < 2:
+                    continue
+                xmin, xmax = int(np.min(xs)), int(np.max(xs))
+                ymin, ymax = int(np.min(ys)), int(np.max(ys))
+                bboxes_l.append(
+                    [int((xmin + xmax) / 2), int((ymin + ymax) / 2), ymax - ymin, xmax - xmin]
+                )
+                crops_l.append(crop_pad_resize(rgb, ymin, ymax, xmin, xmax, out_res))
+            entry[v] = (crops_l, bboxes_l)
+        per_asset.append(entry)
+
+    n_max = max(
+        (len(entry[v][0]) for entry in per_asset for v in views), default=0
+    )
+    image_batch = {"cropped_img": {}, "bbox": {}, "mask": {}}
+    for v in views:
+        crops = np.zeros((len(per_asset), n_max, 3, out_res, out_res), dtype=np.uint8)
+        bboxes = np.zeros((len(per_asset), n_max, 4), dtype=np.int64)
+        mask = np.zeros((len(per_asset), n_max), dtype=bool)
+        for i, entry in enumerate(per_asset):
+            cl, bl = entry[v]
+            if cl:
+                crops[i, : len(cl)] = np.stack(cl)
+                bboxes[i, : len(bl)] = np.asarray(bl)
+                mask[i, : len(cl)] = True
+        image_batch["cropped_img"][v] = crops
+        image_batch["bbox"][v] = bboxes
+        image_batch["mask"][v] = mask
+    return image_batch, image_batch["mask"]

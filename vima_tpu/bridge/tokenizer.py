@@ -1,0 +1,87 @@
+"""Prompt tokenization with multimodal placeholder tokens.
+
+The reference uses the Rust HF ``tokenizers`` t5-base tokenizer with 43
+added placeholder tokens (scripts/example.py:22-75). Tokenization is
+host-side and not perf-critical (survey §2.2), so we keep the same
+library when a local tokenizer is available (``tokenizer_path`` or the HF
+cache) and fall back to a deterministic hash tokenizer for offline CI /
+fake envs.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+# The full placeholder vocabulary (reference scripts/example.py:29-72).
+PLACEHOLDERS: Tuple[str, ...] = tuple(
+    "{" + name + "}"
+    for name in (
+        "base_obj", "base_obj_1", "base_obj_2",
+        "dragged_obj", "dragged_obj_1", "dragged_obj_2", "dragged_obj_3",
+        "dragged_obj_4", "dragged_obj_5",
+        "swept_obj", "bounds", "constraint", "scene",
+        "demo_blicker_obj_1", "demo_less_blicker_obj_1",
+        "demo_blicker_obj_2", "demo_less_blicker_obj_2",
+        "demo_blicker_obj_3", "demo_less_blicker_obj_3",
+        "start_scene", "end_scene",
+        "before_twist_1", "after_twist_1",
+        "before_twist_2", "after_twist_2",
+        "before_twist_3", "after_twist_3",
+        "frame_0", "frame_1", "frame_2", "frame_3", "frame_4", "frame_5", "frame_6",
+        "ring", "hanoi_stand",
+        "start_scene_1", "end_scene_1",
+        "start_scene_2", "end_scene_2",
+        "start_scene_3", "end_scene_3",
+    )
+)
+
+
+class PromptTokenizer:
+    """tokenize(prompt) -> (word_ids, token_types, placeholder_names).
+
+    token_types[i] == 0 consumes the next word id, == 1 the next placeholder
+    asset (reference prepare_prompt, example.py:243-371).
+    """
+
+    def __init__(self, tokenizer_path: str | None = None, vocab_size: int = 32100):
+        self._tok = None
+        self._vocab_size = vocab_size
+        if tokenizer_path is not None:
+            self._tok = self._load_hf(tokenizer_path)
+        else:
+            try:
+                self._tok = self._load_hf("t5-base")
+            except Exception:
+                self._tok = None  # offline: hash fallback
+
+    def _load_hf(self, path):
+        from tokenizers import AddedToken, Tokenizer
+
+        kwargs = {"single_word": True, "lstrip": False, "rstrip": False, "normalized": True}
+        if path.endswith(".json"):
+            tok = Tokenizer.from_file(path)
+        else:
+            tok = Tokenizer.from_pretrained(path)
+        tok.add_tokens([AddedToken(p, **kwargs) for p in PLACEHOLDERS])
+        return tok
+
+    @property
+    def using_fallback(self) -> bool:
+        return self._tok is None
+
+    def __call__(self, prompt: str) -> Tuple[List[int], List[int], List[str]]:
+        if self._tok is not None:
+            enc = self._tok.encode(prompt, add_special_tokens=True)
+            ids, tokens = enc.ids, enc.tokens
+        else:
+            tokens = prompt.replace(".", " .").replace(",", " ,").split()
+            ids = [abs(hash(t)) % self._vocab_size for t in tokens]
+        word_ids, token_types, names = [], [], []
+        for i, tok in enumerate(tokens):
+            if tok in PLACEHOLDERS:
+                token_types.append(1)
+                names.append(tok[1:-1])
+            else:
+                token_types.append(0)
+                word_ids.append(ids[i])
+        return word_ids, token_types, names

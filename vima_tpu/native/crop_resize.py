@@ -1,0 +1,127 @@
+"""ctypes wrapper for the native crop/resize kernel, with a pure-numpy
+fallback implementing the same OpenCV INTER_AREA semantics.
+
+Build on demand (g++ only; no pybind11 in the image):
+    python -m vima_tpu.native.build
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import pathlib
+
+import numpy as np
+
+_LIB_PATH = pathlib.Path(__file__).parent / "libcrop_resize.so"
+_lib = None
+
+
+def _load():
+    global _lib
+    if _lib is None and _LIB_PATH.exists():
+        lib = ctypes.CDLL(str(_LIB_PATH))
+        lib.resize_inter_area_u8.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+        ]
+        lib.crop_pad_resize_batch_u8.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
+        _lib = lib
+    return _lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def _as_u8_ptr(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def resize_inter_area(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """(H, W, C) uint8 -> (out_h, out_w, C) uint8, INTER_AREA semantics."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    H, W, C = img.shape
+    lib = _load()
+    if lib is not None:
+        out = np.empty((out_h, out_w, C), dtype=np.uint8)
+        lib.resize_inter_area_u8(_as_u8_ptr(img), H, W, C, _as_u8_ptr(out), out_h, out_w)
+        return out
+    return _resize_area_numpy(img, out_h, out_w)
+
+
+def crop_pad_resize_batch(frame_chw: np.ndarray, boxes: np.ndarray, out: int = 32) -> np.ndarray:
+    """frame (3, H, W) uint8; boxes (n, 4) int32 [ymin, ymax, xmin, xmax]
+    inclusive -> (n, 3, out, out) uint8 (crop, center-pad square, resize)."""
+    frame_chw = np.ascontiguousarray(frame_chw, dtype=np.uint8)
+    boxes = np.ascontiguousarray(boxes, dtype=np.int32)
+    n = boxes.shape[0]
+    lib = _load()
+    dst = np.empty((n, 3, out, out), dtype=np.uint8)
+    if lib is not None and n:
+        _, H, W = frame_chw.shape
+        lib.crop_pad_resize_batch_u8(
+            _as_u8_ptr(frame_chw), H, W,
+            boxes.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), n, out, _as_u8_ptr(dst),
+        )
+        return dst
+    for i in range(n):
+        ymin, ymax, xmin, xmax = (int(b) for b in boxes[i])
+        crop = frame_chw[:, ymin : ymax + 1, xmin : xmax + 1]
+        h, w = crop.shape[1:]
+        side = max(h, w)
+        padded = np.zeros((3, side, side), dtype=np.uint8)
+        py, px = (side - h) // 2, (side - w) // 2
+        padded[:, py : py + h, px : px + w] = crop
+        dst[i] = np.transpose(
+            resize_inter_area(np.transpose(padded, (1, 2, 0)), out, out), (2, 0, 1)
+        )
+    return dst
+
+
+def _resize_area_numpy(img: np.ndarray, dh: int, dw: int) -> np.ndarray:
+    """Numpy INTER_AREA: exact area weighting for downscale, bilinear for
+    upscale (OpenCV behavior)."""
+    sh, sw, c = img.shape
+    scale_y, scale_x = sh / dh, sw / dw
+    src = img.astype(np.float64)
+    if scale_y >= 1.0 and scale_x >= 1.0 and sh % dh == 0 and sw % dw == 0:
+        iy, ix = sh // dh, sw // dw
+        area = iy * ix
+        box = img.astype(np.int64).reshape(dh, iy, dw, ix, c).sum(axis=(1, 3))
+        return ((box + area // 2) // area).astype(np.uint8)
+    if scale_y >= 1.0 and scale_x >= 1.0:
+        out = np.zeros((dh, dw, c), dtype=np.float64)
+        for dy in range(dh):
+            fy0, fy1 = dy * scale_y, (dy + 1) * scale_y
+            y0, y1 = int(fy0), min(int(np.ceil(fy1)), sh)
+            wy = np.minimum(fy1, np.arange(y0, y1) + 1) - np.maximum(fy0, np.arange(y0, y1))
+            for dx in range(dw):
+                fx0, fx1 = dx * scale_x, (dx + 1) * scale_x
+                x0, x1 = int(fx0), min(int(np.ceil(fx1)), sw)
+                wx = np.minimum(fx1, np.arange(x0, x1) + 1) - np.maximum(fx0, np.arange(x0, x1))
+                block = src[y0:y1, x0:x1]
+                out[dy, dx] = np.einsum("i,j,ijc->c", wy, wx, block) / (scale_x * scale_y)
+        return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+    # upscale: bilinear with pixel-area coefficient mapping (OpenCV
+    # INTER_AREA zoom-in behavior)
+    y0 = np.floor(np.arange(dh) * scale_y).astype(int)
+    x0 = np.floor(np.arange(dw) * scale_x).astype(int)
+    ay = (np.arange(dh) + 1) - (y0 + 1) / scale_y
+    ax = (np.arange(dw) + 1) - (x0 + 1) / scale_x
+    ay = np.where(ay <= 0, 0.0, ay - np.floor(ay))[:, None, None]
+    ax = np.where(ax <= 0, 0.0, ax - np.floor(ax))[None, :, None]
+    y0c = np.clip(y0, 0, sh - 1)
+    y1c = np.clip(y0 + 1, 0, sh - 1)
+    x0c = np.clip(x0, 0, sw - 1)
+    x1c = np.clip(x0 + 1, 0, sw - 1)
+    v00 = src[np.ix_(y0c, x0c)]
+    v01 = src[np.ix_(y0c, x1c)]
+    v10 = src[np.ix_(y1c, x0c)]
+    v11 = src[np.ix_(y1c, x1c)]
+    v = (1 - ay) * ((1 - ax) * v00 + ax * v01) + ay * ((1 - ax) * v10 + ax * v11)
+    return np.clip(np.rint(v), 0, 255).astype(np.uint8)
