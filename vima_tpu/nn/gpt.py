@@ -31,10 +31,12 @@ class GPTDecoder(nn.Module):
     vocab_size: int = 40478
     use_geglu: bool = True
     dropout: float = 0.1
+    remat: bool = False
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
     def setup(self):
+        block_cls = nn.remat(GPTBlock) if self.remat else GPTBlock
         self.tokens_embed = nn.Embed(
             self.vocab_size, self.n_embd, param_dtype=self.param_dtype, dtype=self.dtype,
             name="tokens_embed",
@@ -44,7 +46,7 @@ class GPTDecoder(nn.Module):
             name="positions_embed",
         )
         self.h = [
-            GPTBlock(
+            block_cls(
                 dim=self.n_embd,
                 num_heads=self.n_head,
                 use_geglu=self.use_geglu,

@@ -130,14 +130,21 @@ class T5Block(nn.Module):
 
 
 class T5EncoderStack(nn.Module):
-    """The encoder: N blocks, shared rel-bias from block 0, final RMS norm."""
+    """The encoder: N blocks, shared rel-bias from block 0, final RMS norm.
+
+    ``remat`` rematerializes each block during training — the TPU-native
+    replacement for the reference's gradient-checkpoint path
+    (prompt_encoder.py:376-400)."""
 
     cfg: T5Config
+    remat: bool = False
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
     def setup(self):
         cfg = self.cfg
+        # static_argnums counts self at index 0 -> deterministic is arg 4
+        block_cls = nn.remat(T5Block, static_argnums=(4,)) if self.remat else T5Block
         # The relative attention bias table lives on block 0's attention
         # (reference prompt_encoder.py:151-155).
         self.rel_bias_table = self.param(
@@ -147,7 +154,7 @@ class T5EncoderStack(nn.Module):
             self.param_dtype,
         )
         self.blocks = [
-            T5Block(
+            block_cls(
                 cfg,
                 has_relative_attention_bias=(i == 0),
                 dtype=self.dtype,
@@ -185,7 +192,9 @@ class T5EncoderStack(nn.Module):
 
         x = self.dropout(inputs_embeds, deterministic=deterministic)
         for block in self.blocks:
-            x = block(x, position_bias=bias, key_mask=key_mask, deterministic=deterministic)
+            # positional call: remat's static_argnums needs `deterministic`
+            # at a positional index (3)
+            x = block(x, bias, key_mask, deterministic)
         x = self.final_norm(x)
         x = self.dropout(x, deterministic=deterministic)
         return x
@@ -197,6 +206,7 @@ class T5PromptEncoder(nn.Module):
     sequences."""
 
     cfg: T5Config
+    remat: bool = False
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -207,5 +217,6 @@ class T5PromptEncoder(nn.Module):
     @nn.compact
     def __call__(self, x, attention_mask=None, deterministic: bool = True):
         return T5EncoderStack(
-            self.cfg, dtype=self.dtype, param_dtype=self.param_dtype, name="encoder"
+            self.cfg, remat=self.remat, dtype=self.dtype,
+            param_dtype=self.param_dtype, name="encoder"
         )(x, attention_mask=attention_mask, deterministic=deterministic)

@@ -179,10 +179,13 @@ class XAttnGPT(nn.Module):
     xattn_n_positions: int = 256
     use_geglu: bool = True
     dropout: float = 0.1
+    remat: bool = False  # rematerialize blocks during training (jax.checkpoint)
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
     def setup(self):
+        block_cls = nn.remat(GPTBlock) if self.remat else GPTBlock
+        xattn_cls = nn.remat(XAttentionLayer) if self.remat else XAttentionLayer
         self.positions_embed = nn.Embed(
             self.n_positions, self.embd_dim, param_dtype=self.param_dtype, dtype=self.dtype,
             name="positions_embed",
@@ -192,7 +195,7 @@ class XAttnGPT(nn.Module):
             name="xattn_positions_embed",
         )
         self.h = [
-            GPTBlock(
+            block_cls(
                 dim=self.embd_dim,
                 num_heads=self.n_head,
                 use_geglu=self.use_geglu,
@@ -203,7 +206,7 @@ class XAttnGPT(nn.Module):
             for i in range(self.n_layer)
         ]
         self.xattns = [
-            XAttentionLayer(
+            xattn_cls(
                 dim=self.embd_dim,
                 num_heads=self.xattn_n_head,
                 use_geglu=self.use_geglu,

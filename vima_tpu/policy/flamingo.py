@@ -41,6 +41,7 @@ class VIMAFlamingoPolicy(nn.Module):
     t5_cfg: T5Config = T5Config()
     vocab_size: int = 32128
     views: tuple = ("front", "top")
+    remat: bool = False
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -53,6 +54,7 @@ class VIMAFlamingoPolicy(nn.Module):
             xattn_n_head=self.xattn_n_heads,
             xattn_n_positions=256,
             use_geglu=True,
+            remat=self.remat,
             name="xattn_gpt",
             **kw,
         )
@@ -89,7 +91,9 @@ class VIMAFlamingoPolicy(nn.Module):
             vocab_size=self.vocab_size, embed_dim=self.t5_cfg.d_model,
             name="prompt_embedding", **kw,
         )
-        self.t5_prompt_encoder = T5PromptEncoder(self.t5_cfg, name="t5_prompt_encoder", **kw)
+        self.t5_prompt_encoder = T5PromptEncoder(
+            self.t5_cfg, remat=self.remat, name="t5_prompt_encoder", **kw
+        )
         if self.embed_dim != self.t5_cfg.d_model:
             self.t5_prompt_encoder_post_layer = nn.Dense(
                 self.embed_dim, use_bias=False, name="t5_prompt_encoder_post_layer", **kw

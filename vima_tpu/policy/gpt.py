@@ -37,6 +37,7 @@ class VIMAGPTPolicy(nn.Module):
     t5_cfg: T5Config = T5Config()
     vocab_size: int = 32128
     views: tuple = ("front", "top")
+    remat: bool = False
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -48,6 +49,7 @@ class VIMAGPTPolicy(nn.Module):
             n_head=self.n_head,
             n_positions=self.n_positions,
             use_geglu=True,
+            remat=self.remat,
             name="transformer",
             **kw,
         )
@@ -82,7 +84,9 @@ class VIMAGPTPolicy(nn.Module):
             vocab_size=self.vocab_size, embed_dim=self.t5_cfg.d_model,
             name="prompt_embedding", **kw,
         )
-        self.t5_prompt_encoder = T5PromptEncoder(self.t5_cfg, name="t5_prompt_encoder", **kw)
+        self.t5_prompt_encoder = T5PromptEncoder(
+            self.t5_cfg, remat=self.remat, name="t5_prompt_encoder", **kw
+        )
         if self.embed_dim != self.t5_cfg.d_model:
             self.t5_prompt_encoder_post_layer = nn.Dense(
                 self.embed_dim, use_bias=False, name="t5_prompt_encoder_post_layer", **kw

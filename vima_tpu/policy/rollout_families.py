@@ -1,0 +1,249 @@
+"""KV-cached rollout for the baseline policy families.
+
+Flamingo shares VIMA's xattn decoder shape (prompt K/V cached per layer,
+(Q+1)-token chunks) but with arange positions and unmasked obs queries
+(reference vima_flamingo_policy.py:150-154 passes no masks/position ids).
+
+Gato / GPT are decoder-only: the prompt lives in the same causal stream, so
+the episode starts with a **prefill** of [prompt | sep] into the KV cache
+(positions: prompt pads frozen at n_valid-1, stream continuing from n_valid
+— reference vima_gato_policy.py:156-184) and each env step appends a
+[prev_action | obs tokens] chunk.
+
+All paths make the exact same action choices as the parity ``__call__``
+(tests/test_rollout_families.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from vima_tpu.nn.action import action_mode
+from vima_tpu.policy.base import ACTION_DIMS
+from vima_tpu.policy.rollout import RolloutState, zero_actions
+
+_ACTION_DIM_LISTS = {k: list(v) for k, v in ACTION_DIMS.items()}
+
+
+# ------------------------------------------------------------------ Flamingo
+
+
+@functools.partial(jax.jit, static_argnums=(0, 5))
+def encode_prompt_flamingo(policy, params, word_batch, image_batch, gather, capacity: int):
+    """image_batch: {"rgb": {view: (n_imgs, 3, H, W)}}; gather as in
+    rollout.encode_prompt with n_objs_max = num_queries (all valid)."""
+    apply = lambda method, *a, **kw: policy.apply(params, *a, method=method, **kw)
+    word_embs = apply("embed_prompt_words", word_batch)
+    img_embs = apply("embed_prompt_images", image_batch)  # (n_imgs, Qp, d)
+    d = word_embs.shape[-1]
+    src = jnp.concatenate(
+        [word_embs, img_embs.reshape(-1, d), jnp.zeros((1, d), word_embs.dtype)], axis=0
+    )
+    prompt_tokens = src[gather["idx"]]
+    prompt_mask = gather["mask"]
+    prompt_tokens = apply("encode_prompt_assembled", prompt_tokens, prompt_mask)
+    # flamingo: arange prompt positions (no position ids passed, ref :150-154)
+    pk, pv = policy.apply(
+        params, prompt_tokens, None, method=lambda m, t, _: m.xattn_gpt.encode_prompt_kv(t)
+    )
+
+    B = prompt_tokens.shape[0]
+    n_layer = policy.dt_n_layers
+    H = policy.dt_n_heads
+    D = policy.embed_dim // H
+    state = RolloutState(
+        prompt_k=pk,
+        prompt_v=pv,
+        prompt_mask=prompt_mask,
+        cache_k=jnp.zeros((n_layer, B, H, capacity, D), prompt_tokens.dtype),
+        cache_v=jnp.zeros((n_layer, B, H, capacity, D), prompt_tokens.dtype),
+        slot_mask=jnp.zeros((B, capacity), bool),
+        write_index=jnp.int32(0),
+        pos_count=jnp.zeros((B,), jnp.int32),
+        last_action=zero_actions(B),
+        has_action=jnp.zeros((B,), bool),
+    )
+    return prompt_tokens, state
+
+
+@functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
+def rollout_step_flamingo(policy, params, state: RolloutState, rgb: Dict, ee):
+    """rgb: per-view (B, 3, H, W); ee: (B,)."""
+    apply = lambda method, *a, **kw: policy.apply(params, *a, method=method, **kw)
+    obs_tok = apply("forward_obs_token", rgb, ee)  # (B, Q, E), all valid
+    act_emb = apply("forward_action_token", state.last_action)
+
+    B, Q, E = obs_tok.shape
+    chunk = jnp.concatenate([act_emb[:, None, :], obs_tok], axis=1)
+    chunk_mask = jnp.concatenate(
+        [state.has_action[:, None], jnp.ones((B, Q), bool)], axis=1
+    )
+    chunk_pos = jnp.clip(
+        state.pos_count[:, None] + jnp.cumsum(chunk_mask.astype(jnp.int32), axis=1) - 1,
+        0,
+        None,
+    )
+    slot_mask = jax.lax.dynamic_update_slice(state.slot_mask, chunk_mask, (0, state.write_index))
+
+    out, new_k, new_v = policy.apply(
+        params,
+        chunk,
+        chunk_pos,
+        state.prompt_k,
+        state.prompt_v,
+        state.prompt_mask,
+        state.cache_k,
+        state.cache_v,
+        slot_mask,
+        state.write_index,
+        method=lambda m, *a: m.xattn_gpt.forward_chunk(
+            a[0], a[1], prompt_k=a[2], prompt_v=a[3], prompt_mask=a[4],
+            cache_k=a[5], cache_v=a[6], cache_mask=a[7], write_index=a[8],
+        ),
+    )
+    logits = apply("forward_action_decoder", out[:, -1, :])
+    actions = {
+        k: v.astype(jnp.int32) for k, v in action_mode(logits, _ACTION_DIM_LISTS).items()
+    }
+    new_state = state.replace(
+        cache_k=new_k,
+        cache_v=new_v,
+        slot_mask=slot_mask,
+        write_index=state.write_index + chunk.shape[1],
+        pos_count=state.pos_count + jnp.sum(chunk_mask.astype(jnp.int32), axis=1),
+        last_action=actions,
+        has_action=jnp.ones_like(state.has_action),
+    )
+    return actions, new_state
+
+
+# -------------------------------------------------------------- decoder-only
+
+
+@struct.dataclass
+class DecoderRolloutState:
+    cache_k: jnp.ndarray  # (n_layer, B, H, S, D)
+    cache_v: jnp.ndarray
+    slot_mask: jnp.ndarray  # (B, S)
+    write_index: jnp.ndarray  # ()
+    pos_count: jnp.ndarray  # (B,) next stream position
+    last_action: Dict[str, jnp.ndarray]
+    has_action: jnp.ndarray  # (B,)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 5))
+def encode_prompt_decoder_only(policy, params, word_batch, image_batch, gather, capacity: int):
+    """Prefill [prompt | sep] into the causal KV cache (Gato / GPT).
+
+    Prompt positions: arange frozen at n_valid-1 over pads; sep at n_valid
+    (reference vima_gato_policy.py:156-184)."""
+    apply = lambda method, *a, **kw: policy.apply(params, *a, method=method, **kw)
+    word_embs = apply("embed_prompt_words", word_batch)
+    img_embs = apply("embed_prompt_images", image_batch)
+    d = word_embs.shape[-1]
+    src = jnp.concatenate(
+        [word_embs, img_embs.reshape(-1, d), jnp.zeros((1, d), word_embs.dtype)], axis=0
+    )
+    prompt_tokens = src[gather["idx"]]
+    prompt_mask = gather["mask"]
+    prompt_tokens = apply("encode_prompt_assembled", prompt_tokens, prompt_mask)  # (B, Lp, E)
+
+    B, Lp, E = prompt_tokens.shape
+    sep = jnp.broadcast_to(
+        params["params"]["prompt_sep_token"].astype(prompt_tokens.dtype), (B, 1, E)
+    )
+    prefill = jnp.concatenate([prompt_tokens, sep], axis=1)  # (B, Lp+1, E)
+
+    n_valid = jnp.sum(prompt_mask.astype(jnp.int32), axis=1)  # (B,)
+    prompt_pos = jnp.minimum(jnp.arange(Lp, dtype=jnp.int32)[None], (n_valid - 1)[:, None])
+    positions = jnp.concatenate([prompt_pos, n_valid[:, None]], axis=1)
+
+    n_layer = policy.n_layer
+    H = policy.n_head
+    D = policy.embed_dim // H
+    cache_k = jnp.zeros((n_layer, B, H, capacity, D), prompt_tokens.dtype)
+    cache_v = jnp.zeros((n_layer, B, H, capacity, D), prompt_tokens.dtype)
+    slot_mask = jnp.zeros((B, capacity), bool)
+    slot_mask = jax.lax.dynamic_update_slice(
+        slot_mask,
+        jnp.concatenate([prompt_mask.astype(bool), jnp.ones((B, 1), bool)], axis=1),
+        (0, 0),
+    )
+
+    _, cache_k, cache_v = policy.apply(
+        params,
+        prefill,
+        positions,
+        cache_k,
+        cache_v,
+        slot_mask,
+        0,
+        method=lambda m, *a: m.transformer.forward_chunk(
+            a[0], a[1], cache_k=a[2], cache_v=a[3], cache_mask=a[4], write_index=a[5]
+        ),
+    )
+    state = DecoderRolloutState(
+        cache_k=cache_k,
+        cache_v=cache_v,
+        slot_mask=slot_mask,
+        write_index=jnp.int32(Lp + 1),
+        pos_count=n_valid + 1,  # next stream position (sep consumed one)
+        last_action=zero_actions(B),
+        has_action=jnp.zeros((B,), bool),
+    )
+    return prompt_tokens, state
+
+
+@functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
+def rollout_step_decoder_only(policy, params, state: DecoderRolloutState, rgb: Dict, ee):
+    """One env step for Gato (Q=img_patch_len tokens/frame) or GPT (Q=1)."""
+    apply = lambda method, *a, **kw: policy.apply(params, *a, method=method, **kw)
+    obs_tok = apply("forward_obs_token", rgb, ee)
+    if obs_tok.ndim == 2:  # GPT: one token per frame
+        obs_tok = obs_tok[:, None, :]
+    act_emb = apply("forward_action_token", state.last_action)
+
+    B, Q, E = obs_tok.shape
+    chunk = jnp.concatenate([act_emb[:, None, :], obs_tok], axis=1)
+    chunk_mask = jnp.concatenate(
+        [state.has_action[:, None], jnp.ones((B, Q), bool)], axis=1
+    )
+    # positions advance on real tokens only (dummy slot at step 0 is masked)
+    chunk_pos = jnp.clip(
+        state.pos_count[:, None] + jnp.cumsum(chunk_mask.astype(jnp.int32), axis=1) - 1,
+        0,
+        None,
+    )
+    slot_mask = jax.lax.dynamic_update_slice(state.slot_mask, chunk_mask, (0, state.write_index))
+
+    out, new_k, new_v = policy.apply(
+        params,
+        chunk,
+        chunk_pos,
+        state.cache_k,
+        state.cache_v,
+        slot_mask,
+        state.write_index,
+        method=lambda m, *a: m.transformer.forward_chunk(
+            a[0], a[1], cache_k=a[2], cache_v=a[3], cache_mask=a[4], write_index=a[5]
+        ),
+    )
+    logits = apply("forward_action_decoder", out[:, -1, :])
+    actions = {
+        k: v.astype(jnp.int32) for k, v in action_mode(logits, _ACTION_DIM_LISTS).items()
+    }
+    new_state = state.replace(
+        cache_k=new_k,
+        cache_v=new_v,
+        slot_mask=slot_mask,
+        write_index=state.write_index + chunk.shape[1],
+        pos_count=state.pos_count + jnp.sum(chunk_mask.astype(jnp.int32), axis=1),
+        last_action=actions,
+        has_action=jnp.ones_like(state.has_action),
+    )
+    return actions, new_state

@@ -53,6 +53,7 @@ class VIMAPolicy(nn.Module):
     xattn_n_positions: int = 256
     n_positions: int = 512
     views: tuple = ("front", "top")
+    remat: bool = False
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -66,6 +67,7 @@ class VIMAPolicy(nn.Module):
             n_positions=self.n_positions,
             xattn_n_positions=self.xattn_n_positions,
             use_geglu=True,
+            remat=self.remat,
             name="xattn_gpt",
             **kw,
         )
@@ -108,7 +110,9 @@ class VIMAPolicy(nn.Module):
             name="prompt_embedding",
             **kw,
         )
-        self.t5_prompt_encoder = T5PromptEncoder(self.t5_cfg, name="t5_prompt_encoder", **kw)
+        self.t5_prompt_encoder = T5PromptEncoder(
+            self.t5_cfg, remat=self.remat, name="t5_prompt_encoder", **kw
+        )
         if self.embed_dim != self.t5_cfg.d_model:
             self.t5_prompt_encoder_post_layer = nn.Dense(
                 self.embed_dim, use_bias=False, name="t5_prompt_encoder_post_layer", **kw
