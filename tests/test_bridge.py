@@ -70,6 +70,29 @@ def test_prepare_obs_shapes():
     assert prepared["ee"].shape == (1,)
 
 
+def test_detector_in_the_loop():
+    """BASELINE config 3 flow: detector supplies segmentation; obj ids come
+    from detections, not simulator meta."""
+    from vima_tpu.bridge.detector import OracleSegmDetector
+
+    env = FakeVimaEnv(n_objects=2, seed=3)
+    obs = env.reset()
+    det = OracleSegmDetector()
+    obs["segm"] = det.detect(obs["rgb"], obs)
+    prepared = prepare_obs(obs, None, max_objs=4)  # meta=None: ids from segm
+    assert prepared["objects"]["mask"]["front"].sum() >= 1
+
+    class FakeDetector:
+        def detect(self, rgb, obs):
+            # single full-frame "object"
+            return {v: np.ones(f.shape[-2:], dtype=np.int32) for v, f in rgb.items()}
+
+    obs2 = env.reset()
+    obs2["segm"] = FakeDetector().detect(obs2["rgb"], obs2)
+    prepared2 = prepare_obs(obs2, None, max_objs=4)
+    assert prepared2["objects"]["mask"]["front"].sum() == 1
+
+
 def test_closed_loop_fake_env():
     """Full closed loop: fake env + tiny random policy + fault tolerance."""
     from vima_tpu.bridge.env_loop import (

@@ -85,6 +85,7 @@ def run_episode_batch(
     max_objs: int = 10,
     capacity: int = 512,
     max_steps: Optional[int] = None,
+    detector=None,
 ) -> List[Dict]:
     """Run one episode on each env, batched through one jitted policy.
 
@@ -149,10 +150,19 @@ def run_episode_batch(
         env.task.oracle_max_steps + 2 for env in envs
     )
     while not done.all() and steps < limit:
-        prepared = [
-            prepare_obs(obs, env.meta_info, max_objs=max_objs)
-            for obs, env in zip(obs_list, envs)
-        ]
+        if detector is not None:
+            # detector-in-the-loop (BASELINE config 3): replace simulator
+            # segmentation; object ids come from the detections.
+            for obs in obs_list:
+                obs["segm"] = detector.detect(obs["rgb"], obs)
+            prepared = [
+                prepare_obs(obs, None, max_objs=max_objs) for obs in obs_list
+            ]
+        else:
+            prepared = [
+                prepare_obs(obs, env.meta_info, max_objs=max_objs)
+                for obs, env in zip(obs_list, envs)
+            ]
         batch = stack_obs_batch(prepared)
         t0 = time.perf_counter()
         actions, state = rollout_step(

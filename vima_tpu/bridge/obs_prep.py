@@ -85,7 +85,7 @@ def extract_objects(
 
 def prepare_obs(
     obs: Dict,
-    meta: Dict,
+    meta: Dict | None,
     *,
     max_objs: int,
     views: Sequence[str] = ("front", "top"),
@@ -96,9 +96,23 @@ def prepare_obs(
     obs: {"rgb": {view: (3,H,W)}, "segm": {view: (H,W)}, "ee": int}
     Returns {"objects": {cropped_img/bbox/mask per view: (1, max_objs, ...)},
              "ee": (1,)} — batch axis ready for the jitted rollout step.
+
+    ``meta`` supplies the object-id universe (simulator ground truth);
+    pass None when the segmentation comes from a detector — object ids are
+    then the segm's nonzero uniques (BASELINE config 3 flow).
     """
     views = sorted(views)
-    obj_ids = list(meta["obj_id_to_info"].keys())
+    if meta is not None:
+        obj_ids = list(meta["obj_id_to_info"].keys())
+    else:
+        obj_ids = sorted(
+            set(
+                int(i)
+                for v in views
+                for i in np.unique(np.asarray(obs["segm"][v]))
+                if i != 0
+            )
+        )
     objects = {"cropped_img": {}, "bbox": {}, "mask": {}}
     for v in views:
         crops, bboxes, mask = extract_objects(

@@ -447,6 +447,20 @@ def _ignorable(key: str) -> bool:
     return key.endswith(".bias_buffer") or key.endswith("position_ids") or key.endswith(".attn.bias") or key.endswith("kv_position_ids")
 
 
+def cast_params(params, dtype):
+    """Cast floating-point leaves to ``dtype`` (bf16 inference); integer /
+    bool leaves pass through."""
+    import jax
+    import jax.numpy as jnp
+
+    def f(x):
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):
+            return x.astype(dtype)
+        return x
+
+    return jax.tree_util.tree_map(f, params)
+
+
 def load_policy_from_torch_ckpt(ckpt_path):
     """torch.load a released VIMA ckpt and return (policy_module, params)."""
     import torch
