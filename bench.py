@@ -48,7 +48,7 @@ def _step_inputs(rng, R=32):
 def bench_ours():
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+    jax.config.update("jax_compilation_cache_dir", str(__import__("pathlib").Path(__file__).parent / ".cache" / "jax_comp_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
