@@ -15,6 +15,7 @@ Replaces the reference harness loop (scripts/example.py:100-240) with:
 
 from __future__ import annotations
 
+import concurrent.futures
 import time
 from typing import Callable, Dict, List, Optional, Sequence
 
@@ -86,6 +87,7 @@ def run_episode_batch(
     capacity: int = 512,
     max_steps: Optional[int] = None,
     detector=None,
+    env_workers: int = 0,
 ) -> List[Dict]:
     """Run one episode on each env, batched through one jitted policy.
 
@@ -176,22 +178,30 @@ def run_episode_batch(
         dt = time.perf_counter() - t0
 
         cont = de_discretize_actions({k: jnp.asarray(v) for k, v in actions_np.items()})
-        for b, env in enumerate(envs):
-            if done[b]:
-                continue
-            results[b]["step_latencies"].append(dt)
+
+        def step_env(b):
+            """Physics step for env b (runs in the worker pool: PyBullet
+            stepping is the host bottleneck and overlaps across envs —
+            survey §7 'host/device pipelining')."""
+            env = envs[b]
             lo = jnp.asarray(env.meta_info["action_bounds"]["low"])
             hi = jnp.asarray(env.meta_info["action_bounds"]["high"])
-            env_action = bound_actions(
-                {k: v[b] for k, v in cont.items()}, lo, hi
-            )
+            env_action = bound_actions({k: v[b] for k, v in cont.items()}, lo, hi)
             env_action = {k: np.asarray(v) for k, v in env_action.items()}
             try:
-                obs, _, d, info = env.step(env_action)
+                return env.step(env_action)
             except Exception:
-                # per-env fault isolation: re-reset, mark failed
-                d, info = True, {"success": False}
-                obs = obs_list[b]
+                # per-env fault isolation: mark failed, keep the batch alive
+                return obs_list[b], 0.0, True, {"success": False}
+
+        active = [b for b in range(B) if not done[b]]
+        if env_workers > 1 and len(active) > 1:
+            with concurrent.futures.ThreadPoolExecutor(env_workers) as pool:
+                stepped = list(pool.map(step_env, active))
+        else:
+            stepped = [step_env(b) for b in active]
+        for b, (obs, _, d, info) in zip(active, stepped):
+            results[b]["step_latencies"].append(dt)
             obs_list[b] = obs
             results[b]["steps"] += 1
             if d:

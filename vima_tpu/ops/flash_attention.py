@@ -76,7 +76,7 @@ def _kernel(
         s = jnp.where(k_pos <= q_pos, s, NEG_1E4)
 
     if kmask_ref is not None:
-        km = kmask_ref[0].astype(jnp.float32)  # (Lk,)
+        km = kmask_ref[0, 0].astype(jnp.float32)  # (Lk,)
         s = s + ((1.0 - km) * F32_MIN)[None, :]
 
     if bias_ref is not None:
@@ -136,6 +136,9 @@ def fused_attention(
         key_mask = key_mask.astype(jnp.float32)
         if key_mask.shape[-1] != Lk_p:
             key_mask = jnp.pad(key_mask, ((0, 0), (0, Lk_p - Lk)))
+        # (B, 1, Lk): TPU blocks constrain the last two dims, and a
+        # (1, Lk) block over a (B, Lk) array is illegal for B > 1.
+        key_mask = key_mask[:, None, :]
     if bias is not None:
         bias = bias.astype(jnp.float32)
         bias = jnp.pad(
@@ -152,7 +155,9 @@ def fused_attention(
     operands = [q, k, v]
     if key_mask is not None:
         in_specs.append(
-            pl.BlockSpec((1, Lk_p), lambda b, h, i, *_: (b, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec(
+                (1, 1, Lk_p), lambda b, h, i, *_: (b, 0, 0), memory_space=pltpu.VMEM
+            )
         )
         operands.append(key_mask)
     if bias is not None:

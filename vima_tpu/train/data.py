@@ -1,0 +1,151 @@
+"""Trajectory dataset -> BC training batches.
+
+The reference ships no data pipeline (training ran in an unreleased
+harness over 650K oracle trajectories, model-card.md:27). This module
+provides the TPU-native one: episodes stored as npz files (the format
+``save_episode`` writes), padded into fixed-shape batches that
+``vima_tpu.train.loss.bc_loss`` consumes directly.
+
+Episode npz schema (one file per episode):
+  objects/<field>/<view>   (T, n_objs, ...) uint8/int32/bool
+  ee                       (T,) int32
+  actions/<key>            (T, n_components) int32 (discretized)
+  prompt_word_ids          (Lw,) int32
+  prompt_token_types       (Lt,) int32  (0 word / 1 image)
+  prompt_assets/<field>/<view> (A, n_objs, ...)
+"""
+
+from __future__ import annotations
+
+import pathlib
+from typing import Dict, Iterator, List, Sequence
+
+import numpy as np
+
+from vima_tpu.bridge.prompt_prep import prompt_gather_indices
+
+VIEWS = ("front", "top")
+ACTION_KEYS = ("pose0_position", "pose0_rotation", "pose1_position", "pose1_rotation")
+
+
+def save_episode(path, episode: Dict) -> None:
+    flat = {}
+
+    def rec(prefix, value):
+        if isinstance(value, dict):
+            for k, v in value.items():
+                rec(f"{prefix}/{k}" if prefix else k, v)
+        else:
+            flat[prefix] = np.asarray(value)
+
+    rec("", episode)
+    np.savez_compressed(path, **flat)
+
+
+def load_episode(path) -> Dict:
+    data = np.load(path)
+    out: Dict = {}
+    for key in data.files:
+        parts = key.split("/")
+        node = out
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = data[key]
+    return out
+
+
+class TrajectoryDataset:
+    """Directory of episode npz files -> shuffled fixed-shape batches."""
+
+    def __init__(
+        self,
+        root,
+        *,
+        max_steps: int,
+        max_objs: int,
+        prompt_len: int,
+        seed: int = 0,
+    ):
+        self.paths: List[pathlib.Path] = sorted(pathlib.Path(root).glob("*.npz"))
+        if not self.paths:
+            raise FileNotFoundError(f"no episodes under {root}")
+        self.max_steps = max_steps
+        self.max_objs = max_objs
+        self.prompt_len = prompt_len
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        return len(self.paths)
+
+    def _pad_steps(self, arr, T):
+        pad = T - arr.shape[0]
+        if pad <= 0:
+            return arr[:T]
+        widths = [(0, pad)] + [(0, 0)] * (arr.ndim - 1)
+        return np.pad(arr, widths)
+
+    def _pad_objs(self, arr, n, axis=1):
+        pad = n - arr.shape[axis]
+        if pad <= 0:
+            return np.take(arr, range(n), axis=axis)
+        widths = [(0, 0)] * arr.ndim
+        widths[axis] = (0, pad)
+        return np.pad(arr, widths)
+
+    def _episode_to_sample(self, ep: Dict) -> Dict:
+        T = self.max_steps
+        n = self.max_objs
+        objects = {}
+        for field in ("cropped_img", "bbox", "mask"):
+            objects[field] = {
+                v: self._pad_steps(self._pad_objs(ep["objects"][field][v], n), T)
+                for v in VIEWS
+            }
+        t_real = ep["ee"].shape[0]
+        sample = {
+            "objects": objects,
+            "ee": self._pad_steps(ep["ee"].astype(np.int32), T),
+            "actions": {
+                k: self._pad_steps(ep["actions"][k].astype(np.int32), T)
+                for k in ACTION_KEYS
+            },
+            "action_mask": self._pad_steps(np.ones(t_real, bool), T),
+        }
+        # prompt: per-sample gather indices at a fixed prompt_len bucket
+        types = ep["prompt_token_types"].tolist()
+        n_words = int(sum(1 for t in types if t == 0))
+        asset_masks = {v: ep["prompt_assets"]["mask"][v] for v in VIEWS}
+        qp = asset_masks[VIEWS[0]].shape[1] * len(VIEWS)
+        idx, mask = prompt_gather_indices(
+            [types], n_words, asset_masks, qp, pad_to=self.prompt_len
+        )
+        assets = {
+            field: {v: ep["prompt_assets"][field][v] for v in VIEWS}
+            for field in ("cropped_img", "bbox", "mask")
+        }
+        sample["prompt_word_ids"] = ep["prompt_word_ids"].astype(np.int32)
+        sample["prompt_assets"] = assets
+        sample["prompt_gather_idx"] = idx[0]
+        sample["prompt_mask"] = mask[0]
+        return sample
+
+    def batches(self, batch_size: int, *, epochs: int = 1) -> Iterator[Dict]:
+        """Yield stacked batches; episodes within a batch must share asset
+        counts (bucketing is the caller's concern for heterogeneous data)."""
+        for _ in range(epochs):
+            order = self._rng.permutation(len(self.paths))
+            for i in range(0, len(order) - batch_size + 1, batch_size):
+                samples = [
+                    self._episode_to_sample(load_episode(self.paths[j]))
+                    for j in order[i : i + batch_size]
+                ]
+                yield _stack(samples)
+
+
+def _stack(samples: Sequence[Dict]):
+    def rec(items):
+        if isinstance(items[0], dict):
+            return {k: rec([it[k] for it in items]) for k in items[0]}
+        return np.stack(items, axis=0)
+
+    return rec(samples)
