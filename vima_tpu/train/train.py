@@ -1,0 +1,88 @@
+"""Behavior-cloning training CLI.
+
+    python -m vima_tpu.train.train --data <episodes_dir> --model vima-2m \
+        --batch-size 8 --steps 1000 --dp 4 --tp 2 --out ckpt_dir
+
+The reference ships no trainer at all (its 650K-trajectory BC run lived in
+an unreleased harness, survey §1). This drives the sharded train step over
+a ('dp','tp') mesh with JSONL metrics and orbax checkpoints.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--data", required=True, help="directory of episode .npz files")
+    p.add_argument("--model", default="vima-2m", help="registry size name")
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--steps", type=int, default=100)
+    p.add_argument("--epochs", type=int, default=1000)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--weight-decay", type=float, default=0.0)
+    p.add_argument("--dp", type=int, default=None)
+    p.add_argument("--tp", type=int, default=None)
+    p.add_argument("--max-steps-per-episode", type=int, default=8)
+    p.add_argument("--max-objs", type=int, default=10)
+    p.add_argument("--prompt-len", type=int, default=64)
+    p.add_argument("--remat", action="store_true")
+    p.add_argument("--out", default=None, help="orbax checkpoint output dir")
+    p.add_argument("--metrics", default=None, help="JSONL metrics path (default stdout)")
+    p.add_argument("--resume", default=None, help="orbax checkpoint to resume params from")
+    cfg = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from vima_tpu.ckpt.io import load_checkpoint, save_checkpoint
+    from vima_tpu.ckpt.registry import get_config
+    from vima_tpu.parallel import make_mesh
+    from vima_tpu.policy import init_params
+    from vima_tpu.train.data import TrajectoryDataset
+    from vima_tpu.train.trainer import Trainer
+    from vima_tpu.utils import LatencyTracker, MetricsLogger
+
+    if cfg.resume:
+        policy, params = load_checkpoint(cfg.resume)
+    else:
+        policy = get_config(cfg.model).build(remat=cfg.remat)
+        params = init_params(policy)
+
+    mesh = make_mesh(dp=cfg.dp, tp=cfg.tp)
+    print(f"mesh: {dict(mesh.shape)}", file=sys.stderr)
+    trainer = Trainer(
+        policy, mesh, learning_rate=cfg.lr, weight_decay=cfg.weight_decay
+    ).init(params)
+
+    ds = TrajectoryDataset(
+        cfg.data,
+        max_steps=cfg.max_steps_per_episode,
+        max_objs=cfg.max_objs,
+        prompt_len=cfg.prompt_len,
+    )
+    logger = MetricsLogger(cfg.metrics)
+    tracker = LatencyTracker()
+
+    step = 0
+    for batch in ds.batches(cfg.batch_size, epochs=cfg.epochs):
+        batch = jax.tree_util.tree_map(jnp.asarray, batch)
+        with tracker.measure():
+            metrics = trainer.step(batch)
+        step += 1
+        if step % 10 == 0 or step == 1:
+            logger.log("train_step", step=step, **metrics, **tracker.summary())
+        if step >= cfg.steps:
+            break
+
+    if cfg.out:
+        save_checkpoint(cfg.out, policy, trainer.params, extra={"train_steps": step})
+        print(f"saved checkpoint to {cfg.out}", file=sys.stderr)
+    logger.log("train_done", steps=step, **tracker.summary())
+
+
+if __name__ == "__main__":
+    main()
