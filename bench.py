@@ -168,9 +168,26 @@ def bench_ours():
     total = time.perf_counter() - t0 - rtt
     scan_step_ms = np.asarray([total / (SCAN_STEPS * SCAN_EPISODES) * 1e3])
 
+    # bf16 inference variant (params + activations bf16, fp32 logit islands)
+    bf16_step_ms = None
+    try:
+        from vima_tpu.ckpt.convert import cast_params
+
+        policy16 = get_config(MODEL).build(dtype=jnp.bfloat16)
+        params16 = cast_params(params, jnp.bfloat16)
+        _, s16 = encode_prompt(policy16, params16, word_batch, image_batch, gather, capacity)
+        int(bench_episodes(policy16, params16, s16, objects_seq, ee_seq))
+        t0 = time.perf_counter()
+        int(bench_episodes(policy16, params16, s16, objects_seq, ee_seq))
+        bf16_step_ms = (time.perf_counter() - t0 - rtt) / (SCAN_STEPS * SCAN_EPISODES) * 1e3
+        _phase("bf16 variant")
+    except Exception as e:
+        print(f"bf16 variant skipped: {e!r}", file=sys.stderr)
+
     return {
         "p50_step_ms": float(np.percentile(scan_step_ms, 50)),
         "p90_step_ms": float(np.percentile(scan_step_ms, 90)),
+        "bf16_step_ms": bf16_step_ms,
         "closed_loop_step_ms": float(np.percentile(step_ms, 50)),
         "prompt_encode_ms": float(np.percentile(prompt_times, 50) * 1e3),
         "steps_per_sec": float(1e3 / np.percentile(scan_step_ms, 50)),
