@@ -153,11 +153,17 @@ def bench_ours():
             actions, state = _rollout_step_core(policy, params, state, obj, e)
             return state, actions["pose0_position"]
 
-        def ep_body(acc, _):
-            _, actions = jax.lax.scan(step_body, state0, (objects_seq, ee_seq))
+        def ep_body(acc, ep_idx):
+            # vary each episode's inputs with the carry so XLA cannot hoist
+            # or CSE the inner scan (identical episodes would otherwise be
+            # computed once — a 5x benchmark lie)
+            eseq_i = (ee_seq + ep_idx + acc % 2) % 2
+            _, actions = jax.lax.scan(step_body, state0, (objects_seq, eseq_i))
             return acc + actions[-1].sum(), None
 
-        acc, _ = jax.lax.scan(ep_body, jnp.int32(0), None, length=SCAN_EPISODES)
+        acc, _ = jax.lax.scan(
+            ep_body, jnp.int32(0), jnp.arange(SCAN_EPISODES, dtype=jnp.int32)
+        )
         return acc
 
     _, state0 = encode_prompt(policy, params, word_batch, image_batch, gather, capacity)
