@@ -88,11 +88,28 @@ class GPTDecoder(nn.Module):
         write_index,
     ):
         """Chunk (B, C, E) against cache (n_layer, B, H, S, D);
-        returns (out, new_cache_k, new_cache_v)."""
+        returns (out, new_cache_k, new_cache_v). Caches update in place via
+        layer-indexed dynamic_update_slice (see XAttnGPT.forward_chunk)."""
         x = chunk_tokens + self.positions_embed(jnp.clip(chunk_position_ids, 0, None))
-        new_ks, new_vs = [], []
+        d = self.n_embd // self.n_head
         for i, block in enumerate(self.h):
-            x, nk, nv = block.forward_cached(x, cache_k[i], cache_v[i], write_index, cache_mask)
-            new_ks.append(nk)
-            new_vs.append(nv)
-        return x, jnp.stack(new_ks), jnp.stack(new_vs)
+            q, k, v = block._qkv(x)
+            cache_k = jax.lax.dynamic_update_slice(
+                cache_k, k[None], (i, 0, 0, write_index, 0)
+            )
+            cache_v = jax.lax.dynamic_update_slice(
+                cache_v, v[None], (i, 0, 0, write_index, 0)
+            )
+            from vima_tpu.ops.attention import attend
+
+            ctx = attend(
+                q,
+                cache_k[i],
+                cache_v[i],
+                scale=1.0 / math.sqrt(d),
+                causal=True,
+                q_offset=write_index,
+                key_mask=cache_mask,
+            )
+            x = block._finish(x, ctx)
+        return x, cache_k, cache_v

@@ -280,12 +280,33 @@ class XAttnGPT(nn.Module):
         ``cache_mask`` is the bool slot-validity mask over all S slots and
         must already include the chunk's own mask (the caller updates it
         before calling). Returns (out, new_cache_k, new_cache_v).
+
+        The stacked caches are updated with per-layer ``dynamic_update_slice``
+        into the full (n_layer, ...) arrays — XLA aliases these in place
+        inside scan/donated carries; re-stacking per step would rewrite the
+        whole cache (hundreds of MB at batch) every step.
         """
+        import math as _math
+
         x = chunk_tokens + self.positions_embed(jnp.clip(chunk_position_ids, 0, None))
-        new_ks, new_vs = [], []
         for i, (xattn, block) in enumerate(zip(self.xattns, self.h)):
             x = xattn.attend_out(x, prompt_k[i], prompt_v[i], prompt_mask)
-            x, nk, nv = block.forward_cached(x, cache_k[i], cache_v[i], write_index, cache_mask)
-            new_ks.append(nk)
-            new_vs.append(nv)
-        return x, jnp.stack(new_ks), jnp.stack(new_vs)
+            q, k, v = block._qkv(x)
+            cache_k = jax.lax.dynamic_update_slice(
+                cache_k, k[None], (i, 0, 0, write_index, 0)
+            )
+            cache_v = jax.lax.dynamic_update_slice(
+                cache_v, v[None], (i, 0, 0, write_index, 0)
+            )
+            d = self.embd_dim // self.n_head
+            ctx = attend(
+                q,
+                cache_k[i],
+                cache_v[i],
+                scale=1.0 / _math.sqrt(d),
+                causal=True,
+                q_offset=write_index,
+                key_mask=cache_mask,
+            )
+            x = block._finish(x, ctx)
+        return x, cache_k, cache_v
