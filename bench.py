@@ -1,10 +1,13 @@
 #!/usr/bin/env python
 """Benchmark: p50 per-step policy latency for the 200M-class flagship policy.
 
-Ours: TPU cached-KV rollout (encode_prompt once + rollout_step per env step,
-vima_tpu/policy/rollout.py), measured with block_until_ready — the full
-policy-side step: object-crop ViT encode + action embed + decoder chunk +
-action decode.
+Ours: TPU cached-KV rollout (encode_prompt once + rollout_step per env
+step, vima_tpu/policy/rollout.py) — the full policy-side step: object-crop
+ViT encode + action embed + decoder chunk + action decode. Timed with a
+CSE-proof nested lax.scan (episodes x steps in one jit, inputs varying
+with the carry) and a forced host fetch, because the tunneled TPU's
+block_until_ready can ack early and identical episodes would otherwise be
+computed once.
 
 Baseline: the PyTorch reference's own per-step behavior (full recompute of
 the growing sequence each step, scripts/example.py:111-240) at the same
