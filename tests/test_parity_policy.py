@@ -291,8 +291,8 @@ def test_cached_rollout_matches_full_forward(policies):
     n_layer, H = CFG["xf_n_layers"], CFG["sattn_n_heads"]
     D = E // H
     S = steps * (Q + 1)
-    cache_k = jnp.zeros((n_layer, B, H, S, D))
-    cache_v = jnp.zeros((n_layer, B, H, S, D))
+    cache_k = tuple(jnp.zeros((B, H, S, D)) for _ in range(n_layer))
+    cache_v = tuple(jnp.zeros((B, H, S, D)) for _ in range(n_layer))
     slot_mask = np.zeros((B, S), dtype=bool)
     write_index = 0
     pos_count = np.zeros((B,), dtype=np.int32)

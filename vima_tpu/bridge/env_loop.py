@@ -223,7 +223,8 @@ def _concat_states(states):
     to the longest in the batch."""
     if len(states) == 1:
         return states[0]
-    max_lp = max(s.prompt_k.shape[3] for s in states)
+    n_layer = len(states[0].prompt_k)
+    max_lp = max(s.prompt_k[0].shape[2] for s in states)
 
     def pad_prompt(arr, axis):
         pad = max_lp - arr.shape[axis]
@@ -236,11 +237,21 @@ def _concat_states(states):
     import jax.numpy as jnp_
 
     return states[0].replace(
-        prompt_k=jnp_.concatenate([pad_prompt(s.prompt_k, 3) for s in states], axis=1),
-        prompt_v=jnp_.concatenate([pad_prompt(s.prompt_v, 3) for s in states], axis=1),
+        prompt_k=tuple(
+            jnp_.concatenate([pad_prompt(s.prompt_k[i], 2) for s in states], axis=0)
+            for i in range(n_layer)
+        ),
+        prompt_v=tuple(
+            jnp_.concatenate([pad_prompt(s.prompt_v[i], 2) for s in states], axis=0)
+            for i in range(n_layer)
+        ),
         prompt_mask=jnp_.concatenate([pad_prompt(s.prompt_mask, 1) for s in states], axis=0),
-        cache_k=jnp_.concatenate([s.cache_k for s in states], axis=1),
-        cache_v=jnp_.concatenate([s.cache_v for s in states], axis=1),
+        cache_k=tuple(
+            jnp_.concatenate([s.cache_k[i] for s in states], axis=0) for i in range(n_layer)
+        ),
+        cache_v=tuple(
+            jnp_.concatenate([s.cache_v[i] for s in states], axis=0) for i in range(n_layer)
+        ),
         slot_mask=jnp_.concatenate([s.slot_mask for s in states], axis=0),
         pos_count=jnp_.concatenate([s.pos_count for s in states], axis=0),
         last_action={

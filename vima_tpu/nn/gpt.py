@@ -82,34 +82,33 @@ class GPTDecoder(nn.Module):
         chunk_tokens: jnp.ndarray,
         chunk_position_ids: jnp.ndarray,
         *,
-        cache_k: jnp.ndarray,
-        cache_v: jnp.ndarray,
+        cache_k,
+        cache_v,
         cache_mask: jnp.ndarray,
         write_index,
     ):
-        """Chunk (B, C, E) against cache (n_layer, B, H, S, D);
-        returns (out, new_cache_k, new_cache_v). Caches update in place via
-        layer-indexed dynamic_update_slice (see XAttnGPT.forward_chunk)."""
+        """Chunk (B, C, E) against per-layer caches (tuples of (B, H, S, D));
+        returns (out, new_cache_k, new_cache_v). Each layer updates its own
+        buffer in place (see XAttnGPT.forward_chunk)."""
+        from vima_tpu.ops.attention import attend
+
         x = chunk_tokens + self.positions_embed(jnp.clip(chunk_position_ids, 0, None))
         d = self.n_embd // self.n_head
+        new_ks, new_vs = [], []
         for i, block in enumerate(self.h):
             q, k, v = block._qkv(x)
-            cache_k = jax.lax.dynamic_update_slice(
-                cache_k, k[None], (i, 0, 0, write_index, 0)
-            )
-            cache_v = jax.lax.dynamic_update_slice(
-                cache_v, v[None], (i, 0, 0, write_index, 0)
-            )
-            from vima_tpu.ops.attention import attend
-
+            nk = jax.lax.dynamic_update_slice(cache_k[i], k, (0, 0, write_index, 0))
+            nv = jax.lax.dynamic_update_slice(cache_v[i], v, (0, 0, write_index, 0))
+            new_ks.append(nk)
+            new_vs.append(nv)
             ctx = attend(
                 q,
-                cache_k[i],
-                cache_v[i],
+                nk,
+                nv,
                 scale=1.0 / math.sqrt(d),
                 causal=True,
                 q_offset=write_index,
                 key_mask=cache_mask,
             )
             x = block._finish(x, ctx)
-        return x, cache_k, cache_v
+        return x, tuple(new_ks), tuple(new_vs)

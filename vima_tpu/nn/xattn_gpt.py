@@ -253,60 +253,63 @@ class XAttnGPT(nn.Module):
     def encode_prompt_kv(self, prompt_tokens, prompt_position_ids=None):
         """Per-layer prompt K/V, computed once per episode.
 
-        Returns (k, v): each (n_layer, B, Hx, Lp, Dx)."""
+        Returns (k, v): tuples of n_layer arrays, each (B, Hx, Lp, Dx).
+        Per-layer pytrees (not a stacked array): every cache consumer then
+        reads/writes its own buffer directly, with no per-step stack/slice
+        copies of the full cache."""
         prompt = self._embed_prompt(prompt_tokens, prompt_position_ids)
         ks, vs = [], []
         for xattn in self.xattns:
             k, v = xattn.compute_kv(prompt)
             ks.append(k)
             vs.append(v)
-        return jnp.stack(ks), jnp.stack(vs)
+        return tuple(ks), tuple(vs)
 
     def forward_chunk(
         self,
         chunk_tokens: jnp.ndarray,
         chunk_position_ids: jnp.ndarray,
         *,
-        prompt_k: jnp.ndarray,
-        prompt_v: jnp.ndarray,
+        prompt_k,
+        prompt_v,
         prompt_mask: jnp.ndarray,
-        cache_k: jnp.ndarray,
-        cache_v: jnp.ndarray,
+        cache_k,
+        cache_v,
         cache_mask: jnp.ndarray,
         write_index,
     ):
-        """Cached step: chunk (B, C, E) against cache (n_layer, B, H, S, D).
+        """Cached step: chunk (B, C, E) against per-layer caches
+        (tuples of (B, H, S, D)).
 
         ``cache_mask`` is the bool slot-validity mask over all S slots and
         must already include the chunk's own mask (the caller updates it
         before calling). Returns (out, new_cache_k, new_cache_v).
 
-        The stacked caches are updated with per-layer ``dynamic_update_slice``
-        into the full (n_layer, ...) arrays — XLA aliases these in place
-        inside scan/donated carries; re-stacking per step would rewrite the
-        whole cache (hundreds of MB at batch) every step.
+        Each layer updates its own cache buffer with one
+        ``dynamic_update_slice`` — XLA aliases these in place inside
+        scan/donated carries; a stacked cache would force whole-cache
+        stack/slice copies (hundreds of MB at batch) every step.
         """
         import math as _math
 
         x = chunk_tokens + self.positions_embed(jnp.clip(chunk_position_ids, 0, None))
+        new_ks, new_vs = [], []
+        d = self.embd_dim // self.n_head
         for i, (xattn, block) in enumerate(zip(self.xattns, self.h)):
             x = xattn.attend_out(x, prompt_k[i], prompt_v[i], prompt_mask)
             q, k, v = block._qkv(x)
-            cache_k = jax.lax.dynamic_update_slice(
-                cache_k, k[None], (i, 0, 0, write_index, 0)
-            )
-            cache_v = jax.lax.dynamic_update_slice(
-                cache_v, v[None], (i, 0, 0, write_index, 0)
-            )
-            d = self.embd_dim // self.n_head
+            nk = jax.lax.dynamic_update_slice(cache_k[i], k, (0, 0, write_index, 0))
+            nv = jax.lax.dynamic_update_slice(cache_v[i], v, (0, 0, write_index, 0))
+            new_ks.append(nk)
+            new_vs.append(nv)
             ctx = attend(
                 q,
-                cache_k[i],
-                cache_v[i],
+                nk,
+                nv,
                 scale=1.0 / _math.sqrt(d),
                 causal=True,
                 q_offset=write_index,
                 key_mask=cache_mask,
             )
             x = block._finish(x, ctx)
-        return x, cache_k, cache_v
+        return x, tuple(new_ks), tuple(new_vs)

@@ -33,11 +33,11 @@ from vima_tpu.nn.action import action_mode
 class RolloutState:
     """Per-episode device state (a pytree; donated through jit)."""
 
-    prompt_k: jnp.ndarray  # (n_layer, B, Hx, Lp, Dx)
-    prompt_v: jnp.ndarray
+    prompt_k: tuple  # n_layer x (B, Hx, Lp, Dx)
+    prompt_v: tuple
     prompt_mask: jnp.ndarray  # (B, Lp) bool
-    cache_k: jnp.ndarray  # (n_layer, B, H, S, D)
-    cache_v: jnp.ndarray
+    cache_k: tuple  # n_layer x (B, H, S, D)
+    cache_v: tuple
     slot_mask: jnp.ndarray  # (B, S) bool
     write_index: jnp.ndarray  # () int32
     pos_count: jnp.ndarray  # (B,) int32 — valid tokens so far
@@ -96,8 +96,12 @@ def encode_prompt(
         prompt_k=pk,
         prompt_v=pv,
         prompt_mask=prompt_mask,
-        cache_k=jnp.zeros((n_layer, B, H, capacity, D), prompt_tokens.dtype),
-        cache_v=jnp.zeros((n_layer, B, H, capacity, D), prompt_tokens.dtype),
+        cache_k=tuple(
+            jnp.zeros((B, H, capacity, D), prompt_tokens.dtype) for _ in range(n_layer)
+        ),
+        cache_v=tuple(
+            jnp.zeros((B, H, capacity, D), prompt_tokens.dtype) for _ in range(n_layer)
+        ),
         slot_mask=jnp.zeros((B, capacity), bool),
         write_index=jnp.int32(0),
         pos_count=jnp.zeros((B,), jnp.int32),

@@ -60,8 +60,12 @@ def encode_prompt_flamingo(policy, params, word_batch, image_batch, gather, capa
         prompt_k=pk,
         prompt_v=pv,
         prompt_mask=prompt_mask,
-        cache_k=jnp.zeros((n_layer, B, H, capacity, D), prompt_tokens.dtype),
-        cache_v=jnp.zeros((n_layer, B, H, capacity, D), prompt_tokens.dtype),
+        cache_k=tuple(
+            jnp.zeros((B, H, capacity, D), prompt_tokens.dtype) for _ in range(n_layer)
+        ),
+        cache_v=tuple(
+            jnp.zeros((B, H, capacity, D), prompt_tokens.dtype) for _ in range(n_layer)
+        ),
         slot_mask=jnp.zeros((B, capacity), bool),
         write_index=jnp.int32(0),
         pos_count=jnp.zeros((B,), jnp.int32),
@@ -127,8 +131,8 @@ def rollout_step_flamingo(policy, params, state: RolloutState, rgb: Dict, ee):
 
 @struct.dataclass
 class DecoderRolloutState:
-    cache_k: jnp.ndarray  # (n_layer, B, H, S, D)
-    cache_v: jnp.ndarray
+    cache_k: tuple  # n_layer x (B, H, S, D)
+    cache_v: tuple
     slot_mask: jnp.ndarray  # (B, S)
     write_index: jnp.ndarray  # ()
     pos_count: jnp.ndarray  # (B,) next stream position
@@ -166,8 +170,12 @@ def encode_prompt_decoder_only(policy, params, word_batch, image_batch, gather, 
     n_layer = policy.n_layer
     H = policy.n_head
     D = policy.embed_dim // H
-    cache_k = jnp.zeros((n_layer, B, H, capacity, D), prompt_tokens.dtype)
-    cache_v = jnp.zeros((n_layer, B, H, capacity, D), prompt_tokens.dtype)
+    cache_k = tuple(
+        jnp.zeros((B, H, capacity, D), prompt_tokens.dtype) for _ in range(n_layer)
+    )
+    cache_v = tuple(
+        jnp.zeros((B, H, capacity, D), prompt_tokens.dtype) for _ in range(n_layer)
+    )
     slot_mask = jnp.zeros((B, capacity), bool)
     slot_mask = jax.lax.dynamic_update_slice(
         slot_mask,
