@@ -68,6 +68,37 @@ def test_fused_matches_xla(case):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
 
 
+def test_fused_batched_bias():
+    """bias with a real batch dim (B > 1) exercises the b-indexed block map."""
+    rng = np.random.default_rng(42)
+    B, H, Lq, Lk, D = 3, 2, 64, 128, 32
+    q, k, v = _mk(rng, B, H, Lq, Lk, D)
+    bias = jnp.asarray(rng.normal(size=(B, H, Lq, Lk)).astype(np.float32))
+    mask = np.ones((B, Lk), bool)
+    mask[2, 77:] = False
+    scale = 1.0 / np.sqrt(D)
+    ref = xla_ref(q, k, v, scale=scale, bias=bias, key_mask=jnp.asarray(mask))
+    out = fused_attention(
+        q, k, v, scale=scale, bias=bias, key_mask=jnp.asarray(mask), interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_fused_bf16_values():
+    """bf16 q/k/v with fp32 logits: matches the XLA path bit-for-bit."""
+    rng = np.random.default_rng(7)
+    B, H, Lq, Lk, D = 2, 2, 128, 128, 32
+    q, k, v = _mk(rng, B, H, Lq, Lk, D)
+    q, k, v = q.astype(jnp.bfloat16), k.astype(jnp.bfloat16), v.astype(jnp.bfloat16)
+    scale = 1.0 / np.sqrt(D)
+    ref = xla_ref(q, k, v, scale=scale, causal=True)
+    out = fused_attention(q, k, v, scale=scale, causal=True, interpret=True)
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=2e-2, rtol=2e-2
+    )
+
+
 def test_fused_traced_q_offset():
     """q_offset arrives via scalar prefetch — must work traced (KV-cache)."""
     rng = np.random.default_rng(0)
