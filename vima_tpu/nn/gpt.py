@@ -97,8 +97,12 @@ class GPTDecoder(nn.Module):
         new_ks, new_vs = [], []
         for i, block in enumerate(self.h):
             q, k, v = block._qkv(x)
-            nk = jax.lax.dynamic_update_slice(cache_k[i], k, (0, 0, write_index, 0))
-            nv = jax.lax.dynamic_update_slice(cache_v[i], v, (0, 0, write_index, 0))
+            nk = jax.lax.dynamic_update_slice(
+                cache_k[i], k.astype(cache_k[i].dtype), (0, 0, write_index, 0)
+            )
+            nv = jax.lax.dynamic_update_slice(
+                cache_v[i], v.astype(cache_v[i].dtype), (0, 0, write_index, 0)
+            )
             new_ks.append(nk)
             new_vs.append(nv)
             ctx = attend(

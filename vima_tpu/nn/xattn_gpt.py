@@ -298,8 +298,12 @@ class XAttnGPT(nn.Module):
         for i, (xattn, block) in enumerate(zip(self.xattns, self.h)):
             x = xattn.attend_out(x, prompt_k[i], prompt_v[i], prompt_mask)
             q, k, v = block._qkv(x)
-            nk = jax.lax.dynamic_update_slice(cache_k[i], k, (0, 0, write_index, 0))
-            nv = jax.lax.dynamic_update_slice(cache_v[i], v, (0, 0, write_index, 0))
+            nk = jax.lax.dynamic_update_slice(
+                cache_k[i], k.astype(cache_k[i].dtype), (0, 0, write_index, 0)
+            )
+            nv = jax.lax.dynamic_update_slice(
+                cache_v[i], v.astype(cache_v[i].dtype), (0, 0, write_index, 0)
+            )
             new_ks.append(nk)
             new_vs.append(nv)
             ctx = attend(

@@ -54,7 +54,7 @@ def zero_actions(batch: int) -> Dict[str, jnp.ndarray]:
     }
 
 
-@functools.partial(jax.jit, static_argnums=(0, 5))
+@functools.partial(jax.jit, static_argnums=(0, 5, 6))
 def encode_prompt(
     policy,
     params,
@@ -62,6 +62,7 @@ def encode_prompt(
     image_batch: Dict,
     gather: Dict[str, jnp.ndarray],
     capacity: int,
+    cache_dtype=None,
 ):
     """Episode-start prompt encoding + cache init.
 
@@ -72,6 +73,8 @@ def encode_prompt(
       ``mask`` (B, Lp) bool  — assembled prompt mask (host-computed from
       token types and per-object masks, reference vima_policy.py:168-231).
     capacity: self-attn KV capacity S (static).
+    cache_dtype: KV-cache storage dtype (static); default = activation
+      dtype. bf16 halves cache-read traffic; attention logits stay fp32.
     Returns (prompt_tokens (B, Lp, E), RolloutState).
     """
     apply = lambda method, *a, **kw: policy.apply(params, *a, method=method, **kw)
@@ -92,16 +95,13 @@ def encode_prompt(
     n_layer = policy.xf_n_layers
     H = policy.sattn_n_heads
     D = policy.embed_dim // H
+    cdt = cache_dtype or prompt_tokens.dtype
     state = RolloutState(
-        prompt_k=pk,
-        prompt_v=pv,
+        prompt_k=jax.tree_util.tree_map(lambda x: x.astype(cdt), pk),
+        prompt_v=jax.tree_util.tree_map(lambda x: x.astype(cdt), pv),
         prompt_mask=prompt_mask,
-        cache_k=tuple(
-            jnp.zeros((B, H, capacity, D), prompt_tokens.dtype) for _ in range(n_layer)
-        ),
-        cache_v=tuple(
-            jnp.zeros((B, H, capacity, D), prompt_tokens.dtype) for _ in range(n_layer)
-        ),
+        cache_k=tuple(jnp.zeros((B, H, capacity, D), cdt) for _ in range(n_layer)),
+        cache_v=tuple(jnp.zeros((B, H, capacity, D), cdt) for _ in range(n_layer)),
         slot_mask=jnp.zeros((B, capacity), bool),
         write_index=jnp.int32(0),
         pos_count=jnp.zeros((B,), jnp.int32),
