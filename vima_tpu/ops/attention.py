@@ -33,6 +33,11 @@ NEG_1E4 = -1e4  # reference causal mask constant (components.py:63)
 F32_MIN = float(jnp.finfo(jnp.float32).min)  # reference padding mask constant
 
 _USE_FLASH = True
+# Kernel dispatch domain: measured on v5e-1, the fused kernel wins on large
+# score tiles (full-sequence training/parity passes, long prompt encodes);
+# for tiny-q KV-cache chunks (Lq~17) XLA's fusion is equal-or-better, so
+# require a real q extent too.
+_FLASH_MIN_Q = 64
 _FLASH_MIN_SCORE_TILE = 64 * 64
 
 
@@ -76,7 +81,7 @@ def _flash_eligible(q, k) -> bool:
     except Exception:
         return False
     Lq, Lk = q.shape[2], k.shape[2]
-    return Lq * Lk >= _FLASH_MIN_SCORE_TILE
+    return Lq >= _FLASH_MIN_Q and Lq * Lk >= _FLASH_MIN_SCORE_TILE
 
 
 def attend(
