@@ -147,6 +147,55 @@ def test_jitted_rollout_matches_parity_path(tiny_policy):
         act_tok_hist.append(act_emb)
 
 
+def test_replay_rollout_matches_stepwise(tiny_policy):
+    """The one-jit lax.scan episode (BASELINE config 2) must choose the same
+    actions as sequential rollout_step calls."""
+    from vima_tpu.policy.rollout import replay_rollout
+
+    policy, params = tiny_policy
+    rng = np.random.default_rng(3)
+    B, n_objs, steps = 2, 3, 3
+    Q = n_objs * 2
+
+    token_types = [[0, 1] for _ in range(B)]
+    word_batch = jnp.asarray(rng.integers(0, 64, size=(B,)))
+    image_batch = {
+        "cropped_img": {
+            v: jnp.asarray(rng.integers(3, 255, size=(B, n_objs, 3, 16, 16)), jnp.uint8)
+            for v in ("front", "top")
+        },
+        "bbox": {v: jnp.asarray(rng.integers(5, 120, size=(B, n_objs, 4)), jnp.int32) for v in ("front", "top")},
+        "mask": {v: jnp.ones((B, n_objs), bool) for v in ("front", "top")},
+    }
+    idx, pmask = prompt_gather_indices(
+        token_types, B, {v: np.ones((B, n_objs), bool) for v in ("front", "top")}, Q
+    )
+    gather = {"idx": jnp.asarray(idx), "mask": jnp.asarray(pmask)}
+    capacity = steps * (Q + 1) + 1
+
+    objs_seq, ee_seq = [], []
+    for _ in range(steps):
+        o = make_step_objects(rng, B, n_objs)
+        objs_seq.append(jax.tree.map(jnp.asarray, o))
+        ee_seq.append(rng.integers(0, 2, size=(B,)))
+
+    _, st = encode_prompt(policy, params, word_batch, image_batch, gather, capacity)
+    step_actions = []
+    for t in range(steps):
+        a, st = rollout_step(policy, params, st, objs_seq[t], jnp.asarray(ee_seq[t]))
+        step_actions.append(jax.tree.map(np.asarray, a))
+
+    _, st2 = encode_prompt(policy, params, word_batch, image_batch, gather, capacity)
+    stacked_objs = jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *objs_seq)
+    stacked_ee = jnp.asarray(np.stack(ee_seq, axis=0))
+    replay_actions, _ = replay_rollout(policy, params, st2, stacked_objs, stacked_ee)
+    for t in range(steps):
+        for k in step_actions[t]:
+            np.testing.assert_array_equal(
+                np.asarray(replay_actions[k][t]), step_actions[t][k], err_msg=f"step {t} {k}"
+            )
+
+
 def test_init_all_policies():
     from vima_tpu.policy import VIMAGatoPolicy, VIMAFlamingoPolicy, VIMAGPTPolicy
 
