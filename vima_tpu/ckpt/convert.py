@@ -32,7 +32,12 @@ class StateDict:
         self._sd = {}
         for k, v in sd.items():
             if hasattr(v, "detach"):
-                v = v.detach().cpu().numpy()
+                v = v.detach().cpu()
+                # numpy has no bf16/fp16-safe path for some torch dtypes;
+                # promote to fp32 (params are cast back via cast_params).
+                if str(v.dtype) in ("torch.bfloat16", "torch.float16"):
+                    v = v.float()
+                v = v.numpy()
             self._sd[k] = np.asarray(v)
         self._consumed = set()
 

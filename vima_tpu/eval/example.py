@@ -93,6 +93,8 @@ def main(argv=None):
             totals["successes"] += int(r["success"])
             print(json.dumps({"episode": ep, **r}))
     totals["success_rate"] = totals["successes"] / max(totals["episodes"], 1)
+    totals["partition"] = cfg.partition
+    totals["task"] = cfg.task
     print(json.dumps({"summary": totals}))
 
 
