@@ -63,3 +63,41 @@ def test_torch_ckpt_import(tmp_path):
         {k[len("policy."):]: v for k, v in sd.items()}, cfg, t5_num_layers=1
     )
     assert "xattn_gpt" in params and "obj_encoder" in params
+
+
+def test_convert_cli_roundtrip(tmp_path, capsys):
+    """python -m vima_tpu.ckpt.convert: torch ckpt -> orbax, geometry
+    auto-detected from the weights (works on truncated test ckpts too)."""
+    pytest.importorskip("torch")
+    from tests.reference_loader import reference_available
+
+    if not reference_available():
+        pytest.skip("reference unavailable")
+    import torch
+
+    from tests.reference_loader import build_reference_vima_policy
+    from vima_tpu.ckpt.convert import main as convert_main
+
+    ref, cfg, _ = build_reference_vima_policy(
+        embed_dim=256, xf_n_layers=1, sattn_n_heads=4, xattn_n_heads=4,
+        t5_num_layers=1, t5_d_ff=64, vocab_size=50,
+    )
+    sd = {f"policy.{k}": v for k, v in ref.state_dict().items()}
+    torch.save({"cfg": cfg, "state_dict": sd}, tmp_path / "ref.ckpt")
+
+    convert_main([str(tmp_path / "ref.ckpt"), str(tmp_path / "orbax")])
+    assert "converted" in capsys.readouterr().out
+
+    policy2, params2 = load_checkpoint(tmp_path / "orbax")
+    assert policy2.embed_dim == 256
+    assert policy2.t5_cfg.num_layers == 1
+    assert policy2.t5_cfg.d_ff == 64
+    ref_q = ref.t5_prompt_encoder.t5.encoder.block[0].layer[0].SelfAttention.q.weight
+    ours_q = params2["params"]["t5_prompt_encoder"]["encoder"]["block_0"]
+    # converter transposes torch Linear (out,in) -> Flax kernel (in,out)
+    flat = jax.tree_util.tree_leaves(ours_q)
+    assert any(
+        np.asarray(l).T.shape == tuple(ref_q.shape)
+        and np.allclose(np.asarray(l).T, ref_q.detach().numpy())
+        for l in flat
+    )

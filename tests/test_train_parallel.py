@@ -106,3 +106,42 @@ def test_sharded_train_step_8dev():
     m2 = trainer.step(batch)
     assert np.isfinite(m1["loss/total"])
     assert m2["loss/total"] < m1["loss/total"]  # optimizes on a repeated batch
+
+
+def test_lr_schedule_warmup_cosine():
+    from vima_tpu.train.trainer import make_schedule
+
+    sched = make_schedule(1e-3, schedule="cosine", warmup_steps=10, total_steps=110)
+    assert float(sched(0)) == 0.0
+    assert abs(float(sched(10)) - 1e-3) < 1e-9  # warmup peak
+    assert float(sched(5)) == pytest.approx(5e-4, rel=1e-6)
+    assert float(sched(110)) == pytest.approx(0.0, abs=1e-9)  # decayed to alpha*lr
+    assert float(sched(60)) < float(sched(20))  # monotone decay after warmup
+
+
+def test_train_state_save_resume(tmp_path):
+    """Full train-state round-trip: params, optimizer moments, step, rng."""
+    policy = tiny_policy()
+    params = init_params(policy)
+    mesh = make_mesh(dp=4, tp=2)
+    batch = jax.tree.map(jnp.asarray, make_batch(np.random.default_rng(2), B=8))
+
+    kw = dict(learning_rate=1e-3, schedule="cosine", warmup_steps=2, total_steps=10)
+    t1 = Trainer(policy, mesh, **kw).init(params)
+    t1.step(batch)
+    t1.step(batch)
+    t1.save_state(tmp_path / "state")
+    m_ref = t1.step(batch)  # the step a resumed trainer must reproduce
+
+    t2 = Trainer(policy, mesh, **kw).restore_state(tmp_path / "state")
+    assert t2.step_count == 2
+    # optimizer moments survived (adam mu is nonzero after 2 steps)
+    mu_leaves = [
+        np.asarray(x)
+        for x in jax.tree_util.tree_leaves(t2.opt_state)
+        if hasattr(x, "dtype") and np.issubdtype(np.asarray(x).dtype, np.floating)
+    ]
+    assert any(np.abs(l).max() > 0 for l in mu_leaves)
+    m_resumed = t2.step(batch)
+    assert m_resumed["loss/total"] == pytest.approx(m_ref["loss/total"], rel=1e-5)
+    assert m_resumed["lr"] == pytest.approx(m_ref["lr"], rel=1e-6)

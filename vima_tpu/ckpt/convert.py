@@ -466,22 +466,114 @@ def cast_params(params, dtype):
     return jax.tree_util.tree_map(f, params)
 
 
+def _detect_geometry(sd: Dict) -> Dict:
+    """Infer T5 depth/dims and ViT depth from (prefix-stripped) ckpt keys.
+
+    The released ckpts all use t5-base + a 4-layer ViT, but detecting from
+    the weights keeps the loader honest for truncated/test checkpoints."""
+    import re
+
+    t5_blocks, vit_blocks = set(), set()
+    for k in sd:
+        m = re.match(r"t5_prompt_encoder\.t5\.encoder\.block\.(\d+)\.", k)
+        if m:
+            t5_blocks.add(int(m.group(1)))
+        m = re.search(r"obj_encoder\..*\.resblocks\.(\d+)\.", k)
+        if m:
+            vit_blocks.add(int(m.group(1)))
+    out = {
+        "t5_num_layers": (max(t5_blocks) + 1) if t5_blocks else 12,
+        "vit_layers": (max(vit_blocks) + 1) if vit_blocks else 4,
+    }
+    shared = sd.get("t5_prompt_encoder.t5.shared.weight")
+    wi = sd.get("t5_prompt_encoder.t5.encoder.block.0.layer.1.DenseReluDense.wi.weight")
+    q = sd.get("t5_prompt_encoder.t5.encoder.block.0.layer.0.SelfAttention.q.weight")
+    bias = sd.get(
+        "t5_prompt_encoder.t5.encoder.block.0.layer.0.SelfAttention"
+        ".relative_attention_bias.weight"
+    )
+    if shared is not None:
+        out["t5_vocab"], out["t5_d_model"] = int(shared.shape[0]), int(shared.shape[1])
+    if wi is not None:
+        out["t5_d_ff"] = int(wi.shape[0])
+    if bias is not None:
+        out["t5_num_heads"] = int(bias.shape[1])
+        if q is not None:
+            out["t5_d_kv"] = int(q.shape[0]) // out["t5_num_heads"]
+    return out
+
+
 def load_policy_from_torch_ckpt(ckpt_path):
     """torch.load a released VIMA ckpt and return (policy_module, params)."""
     import torch
 
+    from vima_tpu.nn.t5 import T5Config
     from vima_tpu.policy.vima import VIMAPolicy
 
     ckpt = torch.load(ckpt_path, map_location="cpu", weights_only=False)
     cfg = dict(ckpt["cfg"])
-    policy = VIMAPolicy(
+    flat = strip_prefix(ckpt["state_dict"])
+    geo = _detect_geometry(flat)
+    kw = dict(
         embed_dim=cfg["embed_dim"],
         xf_n_layers=cfg["xf_n_layers"],
         sattn_n_heads=cfg["sattn_n_heads"],
         xattn_n_heads=cfg["xattn_n_heads"],
     )
-    params = convert_vima_policy(ckpt["state_dict"], cfg)
+    default_t5 = T5Config()
+    t5_cfg = T5Config(
+        d_model=geo.get("t5_d_model", default_t5.d_model),
+        d_ff=geo.get("t5_d_ff", default_t5.d_ff),
+        num_layers=geo["t5_num_layers"],
+        num_heads=geo.get("t5_num_heads", default_t5.num_heads),
+        d_kv=geo.get("t5_d_kv", default_t5.d_kv),
+        vocab_size=geo.get("t5_vocab", default_t5.vocab_size),
+    )
+    if t5_cfg != default_t5:
+        kw["t5_cfg"] = t5_cfg
+        kw["vocab_size"] = t5_cfg.vocab_size
+    if geo["vit_layers"] != 4:
+        kw["vit_layers"] = geo["vit_layers"]
+    policy = VIMAPolicy(**kw)
+    params = convert_vima_policy(
+        flat, cfg, t5_num_layers=geo["t5_num_layers"], vit_layers=geo["vit_layers"]
+    )
     import jax
 
     params = jax.tree.map(lambda x: jax.numpy.asarray(x), params)
     return policy, {"params": params}
+
+
+def main(argv=None):
+    """CLI: one-shot released-torch-ckpt -> orbax conversion.
+
+        python -m vima_tpu.ckpt.convert <torch_ckpt.ckpt> <out_dir> [--dtype bf16]
+
+    After this, torch is no longer needed to load the policy
+    (vima_tpu.ckpt.io.load_checkpoint).
+    """
+    import argparse
+
+    p = argparse.ArgumentParser(description=main.__doc__)
+    p.add_argument("torch_ckpt", help="released VIMA .ckpt file (torch.save format)")
+    p.add_argument("out_dir", help="output orbax checkpoint directory")
+    p.add_argument(
+        "--dtype", default=None, choices=[None, "bf16", "fp32"],
+        help="optionally cast stored params (default: keep fp32)",
+    )
+    args = p.parse_args(argv)
+
+    from vima_tpu.ckpt.io import save_checkpoint
+
+    policy, params = load_policy_from_torch_ckpt(args.torch_ckpt)
+    if args.dtype == "bf16":
+        import jax.numpy as jnp
+
+        params = cast_params(params, jnp.bfloat16)
+    save_checkpoint(args.out_dir, policy, params, extra={"source": str(args.torch_ckpt)})
+    n = sum(x.size for x in __import__("jax").tree_util.tree_leaves(params))
+    print(f"converted {args.torch_ckpt} -> {args.out_dir} ({n/1e6:.1f}M params)")
+
+
+if __name__ == "__main__":
+    main()

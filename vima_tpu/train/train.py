@@ -23,6 +23,8 @@ def main(argv=None):
     p.add_argument("--steps", type=int, default=100)
     p.add_argument("--epochs", type=int, default=1000)
     p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--lr-schedule", default="constant", choices=["constant", "cosine", "linear"])
+    p.add_argument("--warmup-steps", type=int, default=0)
     p.add_argument("--weight-decay", type=float, default=0.0)
     p.add_argument("--dp", type=int, default=None)
     p.add_argument("--tp", type=int, default=None)
@@ -33,12 +35,17 @@ def main(argv=None):
     p.add_argument("--out", default=None, help="orbax checkpoint output dir")
     p.add_argument("--metrics", default=None, help="JSONL metrics path (default stdout)")
     p.add_argument("--resume", default=None, help="orbax checkpoint to resume params from")
+    p.add_argument(
+        "--resume-state",
+        default=None,
+        help="full train-state dir from a previous --out (params + optimizer + step)",
+    )
     cfg = p.parse_args(argv)
 
     import jax
     import jax.numpy as jnp
 
-    from vima_tpu.ckpt.io import load_checkpoint, save_checkpoint
+    from vima_tpu.ckpt.io import load_checkpoint
     from vima_tpu.ckpt.registry import get_config
     from vima_tpu.parallel import make_mesh
     from vima_tpu.policy import init_params
@@ -46,7 +53,10 @@ def main(argv=None):
     from vima_tpu.train.trainer import Trainer
     from vima_tpu.utils import LatencyTracker, MetricsLogger
 
-    if cfg.resume:
+    if cfg.resume_state:
+        policy, _ = load_checkpoint(cfg.resume_state)
+        params = None
+    elif cfg.resume:
         policy, params = load_checkpoint(cfg.resume)
     else:
         policy = get_config(cfg.model).build(remat=cfg.remat)
@@ -55,8 +65,19 @@ def main(argv=None):
     mesh = make_mesh(dp=cfg.dp, tp=cfg.tp)
     print(f"mesh: {dict(mesh.shape)}", file=sys.stderr)
     trainer = Trainer(
-        policy, mesh, learning_rate=cfg.lr, weight_decay=cfg.weight_decay
-    ).init(params)
+        policy,
+        mesh,
+        learning_rate=cfg.lr,
+        weight_decay=cfg.weight_decay,
+        schedule=cfg.lr_schedule,
+        warmup_steps=cfg.warmup_steps,
+        total_steps=cfg.steps,
+    )
+    if cfg.resume_state:
+        trainer.restore_state(cfg.resume_state)
+        print(f"resumed train state at step {trainer.step_count}", file=sys.stderr)
+    else:
+        trainer.init(params)
 
     ds = TrajectoryDataset(
         cfg.data,
@@ -67,21 +88,21 @@ def main(argv=None):
     logger = MetricsLogger(cfg.metrics)
     tracker = LatencyTracker()
 
-    step = 0
+    start_step = trainer.step_count
     for batch in ds.batches(cfg.batch_size, epochs=cfg.epochs):
         batch = jax.tree_util.tree_map(jnp.asarray, batch)
         with tracker.measure():
             metrics = trainer.step(batch)
-        step += 1
-        if step % 10 == 0 or step == 1:
+        step = trainer.step_count
+        if step % 10 == 0 or step == start_step + 1:
             logger.log("train_step", step=step, **metrics, **tracker.summary())
         if step >= cfg.steps:
             break
 
     if cfg.out:
-        save_checkpoint(cfg.out, policy, trainer.params, extra={"train_steps": step})
-        print(f"saved checkpoint to {cfg.out}", file=sys.stderr)
-    logger.log("train_done", steps=step, **tracker.summary())
+        trainer.save_state(cfg.out)
+        print(f"saved train state to {cfg.out}", file=sys.stderr)
+    logger.log("train_done", steps=trainer.step_count, **tracker.summary())
 
 
 if __name__ == "__main__":

@@ -10,27 +10,73 @@ backend at all — survey §1, §2.3).
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
 import optax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
-from vima_tpu.parallel.sharding import data_sharding, param_shardings, replicated
+from vima_tpu.parallel.sharding import data_sharding, param_shardings
 from vima_tpu.train.loss import bc_loss
+
+
+def _abspath(path):
+    import pathlib
+
+    return pathlib.Path(path).absolute()
+
+
+def make_schedule(
+    learning_rate: float,
+    *,
+    schedule: str = "constant",
+    warmup_steps: int = 0,
+    total_steps: Optional[int] = None,
+    end_lr_frac: float = 0.0,
+):
+    """LR schedule: linear warmup then constant / cosine / linear decay."""
+    if schedule == "constant":
+        body = optax.constant_schedule(learning_rate)
+    elif schedule == "cosine":
+        if total_steps is None:
+            raise ValueError("cosine schedule needs total_steps")
+        body = optax.cosine_decay_schedule(
+            learning_rate, max(1, total_steps - warmup_steps), alpha=end_lr_frac
+        )
+    elif schedule == "linear":
+        if total_steps is None:
+            raise ValueError("linear schedule needs total_steps")
+        body = optax.linear_schedule(
+            learning_rate, learning_rate * end_lr_frac, max(1, total_steps - warmup_steps)
+        )
+    else:
+        raise ValueError(f"unknown schedule {schedule!r}")
+    if warmup_steps > 0:
+        warmup = optax.linear_schedule(0.0, learning_rate, warmup_steps)
+        return optax.join_schedules([warmup, body], [warmup_steps])
+    return body
 
 
 def make_optimizer(
     learning_rate: float = 1e-4,
     weight_decay: float = 0.0,
     max_grad_norm: Optional[float] = 1.0,
+    *,
+    schedule: str = "constant",
+    warmup_steps: int = 0,
+    total_steps: Optional[int] = None,
 ) -> optax.GradientTransformation:
+    lr = make_schedule(
+        learning_rate,
+        schedule=schedule,
+        warmup_steps=warmup_steps,
+        total_steps=total_steps,
+    )
     txs = []
     if max_grad_norm is not None:
         txs.append(optax.clip_by_global_norm(max_grad_norm))
-    txs.append(optax.adamw(learning_rate, weight_decay=weight_decay))
+    txs.append(optax.adamw(lr, weight_decay=weight_decay))
     return optax.chain(*txs)
 
 
@@ -67,13 +113,30 @@ class Trainer:
         weight_decay: float = 0.0,
         max_grad_norm: Optional[float] = 1.0,
         seed: int = 0,
+        schedule: str = "constant",
+        warmup_steps: int = 0,
+        total_steps: Optional[int] = None,
     ):
         self.policy = policy
         self.mesh = mesh
-        self.optimizer = make_optimizer(learning_rate, weight_decay, max_grad_norm)
+        self.optimizer = make_optimizer(
+            learning_rate,
+            weight_decay,
+            max_grad_norm,
+            schedule=schedule,
+            warmup_steps=warmup_steps,
+            total_steps=total_steps,
+        )
+        self._schedule = make_schedule(
+            learning_rate,
+            schedule=schedule,
+            warmup_steps=warmup_steps,
+            total_steps=total_steps,
+        )
         self._rng = jax.random.PRNGKey(seed)
         self.params = None
         self.opt_state = None
+        self.step_count = 0
         self._compiled = None
 
     def init(self, params):
@@ -101,4 +164,67 @@ class Trainer:
         self.params, self.opt_state, metrics = self._compiled(
             self.params, self.opt_state, batch, sub
         )
-        return jax.tree_util.tree_map(float, metrics)
+        metrics = jax.tree_util.tree_map(float, metrics)
+        metrics["lr"] = float(self._schedule(self.step_count))
+        self.step_count += 1
+        return metrics
+
+    # -- full train-state checkpointing (params + opt state + step + rng) --
+    # The reference cannot save or resume at all (load-only torch ckpts,
+    # vima/__init__.py:7-16); this is a framework addition.
+
+    def save_state(self, path) -> None:
+        import orbax.checkpoint as ocp
+
+        from vima_tpu.ckpt.io import save_checkpoint
+
+        path = _abspath(path)
+        save_checkpoint(
+            path, self.policy, self.params, extra={"train_steps": self.step_count}
+        )
+        # opt_state holds optax namedtuples; persist leaves and rebuild the
+        # treedef from optimizer.init at restore time.
+        leaves = jax.tree_util.tree_leaves(self.opt_state)
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(
+            path / "train_state",
+            {
+                "opt_leaves": {str(i): leaf for i, leaf in enumerate(leaves)},
+                "rng": self._rng,
+            },
+            force=True,
+        )
+        ckptr.wait_until_finished()
+
+    def restore_state(self, path) -> "Trainer":
+        """Restore params/opt_state/step/rng saved by :meth:`save_state`."""
+        import json
+
+        import orbax.checkpoint as ocp
+
+        from vima_tpu.ckpt.io import load_checkpoint
+
+        path = _abspath(path)
+        _, params = load_checkpoint(path)
+        self.init(params)
+        meta = json.loads((path / "policy.json").read_text())
+        self.step_count = int(meta.get("extra", {}).get("train_steps", 0))
+        ckptr = ocp.StandardCheckpointer()
+        state = ckptr.restore(path / "train_state")
+        leaves = [state["opt_leaves"][str(i)] for i in range(len(state["opt_leaves"]))]
+        import numpy as np
+        from jax.sharding import NamedSharding
+
+        init_leaves, treedef = jax.tree_util.tree_flatten(self.opt_state)
+        placed = []
+        for leaf, ref in zip(leaves, init_leaves):
+            sh = getattr(ref, "sharding", None)
+            if isinstance(sh, NamedSharding):
+                placed.append(jax.device_put(leaf, sh))
+            else:
+                # orbax returns committed single-device arrays; hand jit an
+                # uncommitted host value so GSPMD places it like eager init
+                placed.append(np.asarray(leaf))
+        self.opt_state = jax.tree_util.tree_unflatten(treedef, placed)
+        self._rng = jnp.asarray(np.asarray(state["rng"]), dtype=jnp.uint32)
+        return self
