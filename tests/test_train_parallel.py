@@ -108,6 +108,24 @@ def test_sharded_train_step_8dev():
     assert m2["loss/total"] < m1["loss/total"]  # optimizes on a repeated batch
 
 
+def test_trainer_evaluate():
+    """Validation pass: deterministic (no dropout), no param update."""
+    policy = tiny_policy()
+    params = init_params(policy)
+    mesh = make_mesh(dp=4, tp=2)
+    trainer = Trainer(policy, mesh, learning_rate=1e-3).init(params)
+    batch = jax.tree.map(jnp.asarray, make_batch(np.random.default_rng(3), B=8))
+
+    before = jax.tree_util.tree_leaves(trainer.params)[0]
+    m1 = trainer.evaluate([batch])
+    m2 = trainer.evaluate([batch])
+    assert m1["val/loss/total"] == pytest.approx(m2["val/loss/total"], rel=1e-6)
+    assert np.isfinite(m1["val/loss/total"])
+    after = jax.tree_util.tree_leaves(trainer.params)[0]
+    np.testing.assert_array_equal(np.asarray(before), np.asarray(after))
+    assert trainer.step_count == 0  # eval does not advance training
+
+
 def test_lr_schedule_warmup_cosine():
     from vima_tpu.train.trainer import make_schedule
 

@@ -18,6 +18,8 @@ import time
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--data", required=True, help="directory of episode .npz files")
+    p.add_argument("--eval-data", default=None, help="held-out episode dir for validation")
+    p.add_argument("--eval-every", type=int, default=50, help="validate every N steps")
     p.add_argument("--model", default="vima-2m", help="registry size name")
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--steps", type=int, default=100)
@@ -88,6 +90,27 @@ def main(argv=None):
     logger = MetricsLogger(cfg.metrics)
     tracker = LatencyTracker()
 
+    eval_ds = None
+    if cfg.eval_data:
+        eval_ds = TrajectoryDataset(
+            cfg.eval_data,
+            max_steps=cfg.max_steps_per_episode,
+            max_objs=cfg.max_objs,
+            prompt_len=cfg.prompt_len,
+        )
+
+    last_eval = [-1]
+
+    def run_eval(step):
+        if step == last_eval[0]:
+            return
+        last_eval[0] = step
+        batches = (
+            jax.tree_util.tree_map(jnp.asarray, b)
+            for b in eval_ds.batches(cfg.batch_size, epochs=1)
+        )
+        logger.log("eval", step=step, **trainer.evaluate(batches))
+
     start_step = trainer.step_count
     for batch in ds.batches(cfg.batch_size, epochs=cfg.epochs):
         batch = jax.tree_util.tree_map(jnp.asarray, batch)
@@ -96,9 +119,13 @@ def main(argv=None):
         step = trainer.step_count
         if step % 10 == 0 or step == start_step + 1:
             logger.log("train_step", step=step, **metrics, **tracker.summary())
+        if eval_ds is not None and step % cfg.eval_every == 0:
+            run_eval(step)
         if step >= cfg.steps:
             break
 
+    if eval_ds is not None:
+        run_eval(trainer.step_count)
     if cfg.out:
         trainer.save_state(cfg.out)
         print(f"saved train state to {cfg.out}", file=sys.stderr)

@@ -138,6 +138,7 @@ class Trainer:
         self.opt_state = None
         self.step_count = 0
         self._compiled = None
+        self._eval_compiled = None
 
     def init(self, params):
         shardings = param_shardings(params, self.mesh)
@@ -168,6 +169,28 @@ class Trainer:
         metrics["lr"] = float(self._schedule(self.step_count))
         self.step_count += 1
         return metrics
+
+    def eval_step(self, batch) -> Dict[str, Any]:
+        """Validation pass: bc_loss with train=False (no dropout, no update)."""
+        if self.params is None:
+            raise RuntimeError("call init(params) first")
+        batch = jax.device_put(batch, data_sharding(self.mesh, batch))
+        if self._eval_compiled is None:
+            self._eval_compiled = jax.jit(
+                lambda p, b: bc_loss(self.policy, p, b, train=False)[1]
+            )
+        metrics = self._eval_compiled(self.params, batch)
+        return jax.tree_util.tree_map(float, metrics)
+
+    def evaluate(self, batches) -> Dict[str, Any]:
+        """Mean metrics over an iterable of validation batches."""
+        sums: Dict[str, float] = {}
+        n = 0
+        for batch in batches:
+            for k, v in self.eval_step(batch).items():
+                sums[k] = sums.get(k, 0.0) + v
+            n += 1
+        return {f"val/{k}": v / max(n, 1) for k, v in sums.items()}
 
     # -- full train-state checkpointing (params + opt state + step + rng) --
     # The reference cannot save or resume at all (load-only torch ckpts,
