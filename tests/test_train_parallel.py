@@ -136,6 +136,19 @@ def test_lr_schedule_warmup_cosine():
     assert float(sched(110)) == pytest.approx(0.0, abs=1e-9)  # decayed to alpha*lr
     assert float(sched(60)) < float(sched(20))  # monotone decay after warmup
 
+    # the host-math mirror (used for the lr metric, no device dispatch)
+    # matches the optax schedule the optimizer actually applies
+    from vima_tpu.train.trainer import schedule_value
+
+    for kind in ("constant", "cosine", "linear"):
+        opt_sched = make_schedule(1e-3, schedule=kind, warmup_steps=10, total_steps=110)
+        for step in (0, 3, 10, 42, 109, 110, 200):
+            assert schedule_value(
+                1e-3, step, schedule=kind, warmup_steps=10, total_steps=110
+            ) == pytest.approx(  # optax computes in fp32; host mirror in float64
+                float(opt_sched(step)), rel=1e-4, abs=1e-9
+            ), (kind, step)
+
 
 def test_train_state_save_resume(tmp_path):
     """Full train-state round-trip: params, optimizer moments, step, rng."""

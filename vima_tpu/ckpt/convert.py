@@ -563,14 +563,12 @@ def main(argv=None):
     )
     args = p.parse_args(argv)
 
-    from vima_tpu.ckpt.io import save_checkpoint
+    import jax.numpy as jnp
 
-    policy, params = load_policy_from_torch_ckpt(args.torch_ckpt)
-    if args.dtype == "bf16":
-        import jax.numpy as jnp
+    from vima_tpu.ckpt.io import import_torch_checkpoint
 
-        params = cast_params(params, jnp.bfloat16)
-    save_checkpoint(args.out_dir, policy, params, extra={"source": str(args.torch_ckpt)})
+    dtype = jnp.bfloat16 if args.dtype == "bf16" else None
+    _, params = import_torch_checkpoint(args.torch_ckpt, args.out_dir, dtype=dtype)
     n = sum(x.size for x in __import__("jax").tree_util.tree_leaves(params))
     print(f"converted {args.torch_ckpt} -> {args.out_dir} ({n/1e6:.1f}M params)")
 

@@ -33,10 +33,8 @@ def save_checkpoint(path, policy, params, *, extra: Optional[Dict] = None) -> No
     (path / "policy.json").write_text(json.dumps(meta, indent=2))
 
 
-def load_checkpoint(path) -> Tuple[Any, Dict]:
-    """Load (policy, params) saved by :func:`save_checkpoint`."""
-    import orbax.checkpoint as ocp
-
+def load_policy_meta(path) -> Any:
+    """Rebuild just the policy module from ``policy.json`` (no param I/O)."""
     import vima_tpu.policy as vp
     from vima_tpu.nn.t5 import T5Config
 
@@ -50,7 +48,15 @@ def load_checkpoint(path) -> Tuple[Any, Dict]:
             cfg[k] = tuple(cfg[k])
     cfg.pop("dtype", None)
     cfg.pop("param_dtype", None)
-    policy = getattr(vp, meta["policy_class"])(**cfg)
+    return getattr(vp, meta["policy_class"])(**cfg)
+
+
+def load_checkpoint(path) -> Tuple[Any, Dict]:
+    """Load (policy, params) saved by :func:`save_checkpoint`."""
+    import orbax.checkpoint as ocp
+
+    path = pathlib.Path(path).absolute()
+    policy = load_policy_meta(path)
     ckptr = ocp.StandardCheckpointer()
     params = ckptr.restore(path / "params")
     return policy, params
@@ -68,9 +74,15 @@ def _policy_config_dict(policy) -> Dict:
     return out
 
 
-def import_torch_checkpoint(torch_ckpt_path, out_path) -> None:
-    """One-shot: released torch ckpt -> orbax (no torch needed afterwards)."""
-    from vima_tpu.ckpt.convert import load_policy_from_torch_ckpt
+def import_torch_checkpoint(torch_ckpt_path, out_path, *, dtype=None):
+    """One-shot: released torch ckpt -> orbax (no torch needed afterwards).
+
+    ``dtype`` optionally casts stored params (e.g. jnp.bfloat16).
+    Returns (policy, params)."""
+    from vima_tpu.ckpt.convert import cast_params, load_policy_from_torch_ckpt
 
     policy, params = load_policy_from_torch_ckpt(torch_ckpt_path)
+    if dtype is not None:
+        params = cast_params(params, dtype)
     save_checkpoint(out_path, policy, params, extra={"source": str(torch_ckpt_path)})
+    return policy, params

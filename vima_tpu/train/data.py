@@ -129,11 +129,20 @@ class TrajectoryDataset:
         sample["prompt_mask"] = mask[0]
         return sample
 
-    def batches(self, batch_size: int, *, epochs: int = 1) -> Iterator[Dict]:
+    def batches(
+        self, batch_size: int, *, epochs: int = 1, shuffle: bool = True
+    ) -> Iterator[Dict]:
         """Yield stacked batches; episodes within a batch must share asset
-        counts (bucketing is the caller's concern for heterogeneous data)."""
+        counts (bucketing is the caller's concern for heterogeneous data).
+        The trailing remainder (< batch_size episodes) is dropped to keep
+        shapes static for jit. ``shuffle=False`` gives a deterministic order
+        (validation passes must score the same episodes every time)."""
         for _ in range(epochs):
-            order = self._rng.permutation(len(self.paths))
+            order = (
+                self._rng.permutation(len(self.paths))
+                if shuffle
+                else np.arange(len(self.paths))
+            )
             for i in range(0, len(order) - batch_size + 1, batch_size):
                 samples = [
                     self._episode_to_sample(load_episode(self.paths[j]))

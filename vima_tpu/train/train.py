@@ -47,7 +47,7 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
-    from vima_tpu.ckpt.io import load_checkpoint
+    from vima_tpu.ckpt.io import load_checkpoint, load_policy_meta
     from vima_tpu.ckpt.registry import get_config
     from vima_tpu.parallel import make_mesh
     from vima_tpu.policy import init_params
@@ -56,7 +56,8 @@ def main(argv=None):
     from vima_tpu.utils import LatencyTracker, MetricsLogger
 
     if cfg.resume_state:
-        policy, _ = load_checkpoint(cfg.resume_state)
+        # params are restored inside restore_state; don't read them twice
+        policy = load_policy_meta(cfg.resume_state)
         params = None
     elif cfg.resume:
         policy, params = load_checkpoint(cfg.resume)
@@ -98,6 +99,12 @@ def main(argv=None):
             max_objs=cfg.max_objs,
             prompt_len=cfg.prompt_len,
         )
+        if len(eval_ds) < cfg.batch_size:
+            p.error(
+                f"--eval-data has {len(eval_ds)} episodes but --batch-size is "
+                f"{cfg.batch_size}; partial batches are dropped, so no eval "
+                "batch would ever run"
+            )
 
     last_eval = [-1]
 
@@ -105,24 +112,26 @@ def main(argv=None):
         if step == last_eval[0]:
             return
         last_eval[0] = step
+        # deterministic order: every eval pass scores the same episodes
         batches = (
             jax.tree_util.tree_map(jnp.asarray, b)
-            for b in eval_ds.batches(cfg.batch_size, epochs=1)
+            for b in eval_ds.batches(cfg.batch_size, epochs=1, shuffle=False)
         )
         logger.log("eval", step=step, **trainer.evaluate(batches))
 
+    eval_every = max(cfg.eval_every, 0)  # 0 disables periodic eval (final-only)
     start_step = trainer.step_count
     for batch in ds.batches(cfg.batch_size, epochs=cfg.epochs):
+        if trainer.step_count >= cfg.steps:
+            break  # e.g. resumed from a state already at --steps
         batch = jax.tree_util.tree_map(jnp.asarray, batch)
         with tracker.measure():
             metrics = trainer.step(batch)
         step = trainer.step_count
         if step % 10 == 0 or step == start_step + 1:
             logger.log("train_step", step=step, **metrics, **tracker.summary())
-        if eval_ds is not None and step % cfg.eval_every == 0:
+        if eval_ds is not None and eval_every and step % eval_every == 0:
             run_eval(step)
-        if step >= cfg.steps:
-            break
 
     if eval_ds is not None:
         run_eval(trainer.step_count)

@@ -58,6 +58,37 @@ def make_schedule(
     return body
 
 
+def schedule_value(
+    learning_rate: float,
+    step: int,
+    *,
+    schedule: str = "constant",
+    warmup_steps: int = 0,
+    total_steps: Optional[int] = None,
+    end_lr_frac: float = 0.0,
+) -> float:
+    """Host-math mirror of :func:`make_schedule` (same optax semantics).
+
+    Used for the per-step ``lr`` metric: evaluating the optax schedule
+    eagerly would dispatch device ops every step, which costs a full
+    tunnel round-trip per op on the remote-TPU setup."""
+    import math
+
+    if warmup_steps > 0 and step < warmup_steps:
+        return learning_rate * step / warmup_steps
+    s = step - warmup_steps
+    if schedule == "constant":
+        return learning_rate
+    horizon = max(1, (total_steps or 0) - warmup_steps)
+    s = min(s, horizon)
+    if schedule == "cosine":
+        cos = 0.5 * (1.0 + math.cos(math.pi * s / horizon))
+        return learning_rate * ((1.0 - end_lr_frac) * cos + end_lr_frac)
+    if schedule == "linear":
+        return learning_rate * (1.0 - (1.0 - end_lr_frac) * (s / horizon))
+    raise ValueError(f"unknown schedule {schedule!r}")
+
+
 def make_optimizer(
     learning_rate: float = 1e-4,
     weight_decay: float = 0.0,
@@ -127,8 +158,9 @@ class Trainer:
             warmup_steps=warmup_steps,
             total_steps=total_steps,
         )
-        self._schedule = make_schedule(
+        self._schedule = lambda step: schedule_value(
             learning_rate,
+            step,
             schedule=schedule,
             warmup_steps=warmup_steps,
             total_steps=total_steps,
@@ -183,14 +215,23 @@ class Trainer:
         return jax.tree_util.tree_map(float, metrics)
 
     def evaluate(self, batches) -> Dict[str, Any]:
-        """Mean metrics over an iterable of validation batches."""
+        """Mean metrics over an iterable of validation batches.
+
+        Raises if the iterable is empty (an eval set smaller than the
+        batch size yields zero batches — silently logging nothing would
+        mask a misconfiguration)."""
         sums: Dict[str, float] = {}
         n = 0
         for batch in batches:
             for k, v in self.eval_step(batch).items():
                 sums[k] = sums.get(k, 0.0) + v
             n += 1
-        return {f"val/{k}": v / max(n, 1) for k, v in sums.items()}
+        if n == 0:
+            raise ValueError(
+                "evaluate() received no batches — is the eval set smaller "
+                "than the batch size? (the dataset drops partial batches)"
+            )
+        return {"val/num_batches": float(n), **{f"val/{k}": v / n for k, v in sums.items()}}
 
     # -- full train-state checkpointing (params + opt state + step + rng) --
     # The reference cannot save or resume at all (load-only torch ckpts,
@@ -239,6 +280,12 @@ class Trainer:
         from jax.sharding import NamedSharding
 
         init_leaves, treedef = jax.tree_util.tree_flatten(self.opt_state)
+        if len(leaves) != len(init_leaves):
+            raise ValueError(
+                f"train_state has {len(leaves)} optimizer leaves but this "
+                f"optimizer expects {len(init_leaves)} — optimizer config "
+                "changed since the checkpoint was saved"
+            )
         placed = []
         for leaf, ref in zip(leaves, init_leaves):
             sh = getattr(ref, "sharding", None)
