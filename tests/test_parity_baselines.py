@@ -230,3 +230,17 @@ def test_flamingo_obs_and_forward(flamingo):
         jnp.asarray(pmask),
     )
     np.testing.assert_allclose(np.asarray(out), ref_out, atol=3e-4, rtol=3e-4)
+
+
+def test_family_call_rejects_short_action_history(gato):
+    """T_a outside {T-1, T} must raise: the interleaved stream would keep
+    dummy slots as valid tokens and cut real trailing tokens."""
+    _, ours, params = gato
+    rng = np.random.default_rng(9)
+    T, B, Q = 3, 1, ours.obj_encoder_img_patch_len if hasattr(ours, "obj_encoder_img_patch_len") else 8
+    obs = jnp.asarray(rng.normal(size=(T, B, Q, E)), jnp.float32)
+    act = jnp.asarray(rng.normal(size=(T - 2, B, E)), jnp.float32)  # too short
+    prompt = jnp.asarray(rng.normal(size=(4, B, E)), jnp.float32)
+    pmask = jnp.ones((B, 4), bool)
+    with pytest.raises(ValueError, match="T-1 or T"):
+        ours.apply(params, obs, act, prompt, pmask)

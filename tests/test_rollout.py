@@ -196,6 +196,41 @@ def test_replay_rollout_matches_stepwise(tiny_policy):
             )
 
 
+def test_replay_rollout_capacity_guard(tiny_policy):
+    """A replay that would overflow the KV cache must fail at trace time,
+    not silently overwrite slots (dynamic_update_slice clamps)."""
+    from vima_tpu.policy.rollout import replay_rollout
+
+    policy, params = tiny_policy
+    rng = np.random.default_rng(4)
+    B, n_objs, steps = 2, 3, 3
+    Q = n_objs * 2
+
+    token_types = [[0, 1] for _ in range(B)]
+    word_batch = jnp.asarray(rng.integers(0, 64, size=(B,)))
+    image_batch = {
+        "cropped_img": {
+            v: jnp.asarray(rng.integers(3, 255, size=(B, n_objs, 3, 16, 16)), jnp.uint8)
+            for v in ("front", "top")
+        },
+        "bbox": {v: jnp.asarray(rng.integers(5, 120, size=(B, n_objs, 4)), jnp.int32) for v in ("front", "top")},
+        "mask": {v: jnp.ones((B, n_objs), bool) for v in ("front", "top")},
+    }
+    idx, pmask = prompt_gather_indices(
+        token_types, B, {v: np.ones((B, n_objs), bool) for v in ("front", "top")}, Q
+    )
+    gather = {"idx": jnp.asarray(idx), "mask": jnp.asarray(pmask)}
+    capacity = steps * (Q + 1) - 1  # one slot short
+
+    objs_seq = [jax.tree.map(jnp.asarray, make_step_objects(rng, B, n_objs)) for _ in range(steps)]
+    stacked_objs = jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *objs_seq)
+    stacked_ee = jnp.zeros((steps, B), jnp.int32)
+
+    _, st = encode_prompt(policy, params, word_batch, image_batch, gather, capacity)
+    with pytest.raises(ValueError, match="cache slots"):
+        replay_rollout(policy, params, st, stacked_objs, stacked_ee)
+
+
 def test_init_all_policies():
     from vima_tpu.policy import VIMAGatoPolicy, VIMAFlamingoPolicy, VIMAGPTPolicy
 

@@ -151,6 +151,14 @@ def run_episode_batch(
     limit = max_steps or max(
         env.task.oracle_max_steps + 2 for env in envs
     )
+    # KV-cache capacity contract (see policy/rollout.py::rollout_step):
+    # stepping past capacity // chunk would silently overwrite cache slots.
+    chunk = 1 + 2 * max_objs  # action slot + objects over both views
+    if limit * chunk > capacity:
+        raise ValueError(
+            f"episode limit {limit} x {chunk}-token chunks exceeds KV "
+            f"capacity {capacity}; raise capacity= or lower max_steps/max_objs"
+        )
     while not done.all() and steps < limit:
         if detector is not None:
             # detector-in-the-loop (BASELINE config 3): replace simulator

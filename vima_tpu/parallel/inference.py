@@ -15,37 +15,22 @@ from typing import Any
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from vima_tpu.parallel.sharding import param_shardings
+from vima_tpu.parallel.sharding import data_sharding, param_shardings
 
 
 def shard_batch(tree: Any, mesh: Mesh):
-    """Shard every array leaf's leading (batch) axis over ``dp``."""
-    dp = mesh.shape["dp"]
-
-    def place(leaf):
-        if hasattr(leaf, "ndim") and leaf.ndim >= 1 and leaf.shape[0] % dp == 0:
-            return jax.device_put(leaf, NamedSharding(mesh, P("dp")))
-        return jax.device_put(leaf, NamedSharding(mesh, P()))
-
-    return jax.tree_util.tree_map(place, tree)
+    """Shard every array leaf's leading (batch) axis over ``dp``
+    (one placement rule: ``sharding.data_sharding``)."""
+    return jax.device_put(tree, data_sharding(mesh, tree))
 
 
 def shard_rollout_state(state, mesh: Mesh):
     """Place a RolloutState so batch-major leaves shard over ``dp``.
 
-    prompt/self-attn caches are (B, H, S, D) per layer -> P('dp', ...);
+    prompt/self-attn caches are (B, H, S, D) per layer -> P('dp');
     masks/counters are (B, ...) -> P('dp'); the scalar write_index
-    replicates.
-    """
-    dp = mesh.shape["dp"]
-
-    def place(leaf):
-        if hasattr(leaf, "ndim") and leaf.ndim >= 1 and leaf.shape[0] % dp == 0:
-            spec = P("dp", *([None] * (leaf.ndim - 1)))
-            return jax.device_put(leaf, NamedSharding(mesh, spec))
-        return jax.device_put(leaf, NamedSharding(mesh, P()))
-
-    return jax.tree_util.tree_map(place, state)
+    replicates. Same rule as any data batch."""
+    return jax.device_put(state, data_sharding(mesh, state))
 
 
 def replicate_params(params, mesh: Mesh, tensor_parallel: bool = False):

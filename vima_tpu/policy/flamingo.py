@@ -183,6 +183,12 @@ class VIMAFlamingoPolicy(nn.Module):
         )
         L = T * (Q + 1)
         T_a = 0 if action_token is None else action_token.shape[0]
+        if T_a not in (T - 1, T):
+            raise ValueError(
+                f"action_token must cover T-1 or T steps (got T_a={T_a}, "
+                f"T={T}); shorter histories would silently corrupt the "
+                "interleaved stream (dummy slots kept, real tokens cut)"
+            )
         # The reference stream has no trailing dummy action slots and no
         # masks: truncate to the exact reference length so default arange
         # positions line up.

@@ -187,6 +187,12 @@ class VIMAGatoPolicy(nn.Module):
         prompt_bf = prompt_token.transpose(1, 0, 2)
         B, T, Q, E = obs_bf.shape
         T_a = 0 if action_token is None else action_token.shape[0]
+        if T_a not in (T - 1, T):
+            raise ValueError(
+                f"action_token must cover T-1 or T steps (got T_a={T_a}, "
+                f"T={T}); shorter histories would silently corrupt the "
+                "interleaved stream (dummy slots kept, real tokens cut)"
+            )
         Lp = prompt_bf.shape[1]
 
         stream, _ = interleave_obs_actions(obs_bf, jnp.ones((B, T, Q), bool), act_bf)

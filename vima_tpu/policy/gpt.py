@@ -170,6 +170,12 @@ class VIMAGPTPolicy(nn.Module):
         B, T = obs_bf.shape[:2]
         E = obs_bf.shape[-1]
         T_a = 0 if action_token is None else action_token.shape[0]
+        if T_a not in (T - 1, T):
+            raise ValueError(
+                f"action_token must cover T-1 or T steps (got T_a={T_a}, "
+                f"T={T}); shorter histories would silently corrupt the "
+                "interleaved stream (dummy slots kept, real tokens cut)"
+            )
         Lp = prompt_bf.shape[1]
 
         stream, _ = interleave_obs_actions(obs_bf, jnp.ones((B, T, 1), bool), act_bf)

@@ -79,15 +79,7 @@ def encode_prompt(
     """
     apply = lambda method, *a, **kw: policy.apply(params, *a, method=method, **kw)
 
-    word_embs = apply("embed_prompt_words", word_batch)  # (n_words, d)
-    img_embs = apply("embed_prompt_images", image_batch)  # (n_imgs, Qp, d)
-    d = word_embs.shape[-1]
-    src = jnp.concatenate(
-        [word_embs, img_embs.reshape(-1, d), jnp.zeros((1, d), word_embs.dtype)], axis=0
-    )
-    prompt_tokens = src[gather["idx"]]  # (B, Lp, d)
-    prompt_mask = gather["mask"]
-
+    prompt_tokens, prompt_mask = assemble_prompt(apply, word_batch, image_batch, gather)
     prompt_tokens = apply("encode_prompt_assembled", prompt_tokens, prompt_mask)
     pk, pv = apply("encode_prompt_kv", prompt_tokens, prompt_mask)
 
@@ -111,26 +103,68 @@ def encode_prompt(
     return prompt_tokens, state
 
 
-def _rollout_step_core(policy, params, state: RolloutState, objects: Dict, ee: jnp.ndarray):
-    apply = lambda method, *a, **kw: policy.apply(params, *a, method=method, **kw)
+def assemble_prompt(apply, word_batch, image_batch, gather):
+    """One-gather prompt assembly shared by every family's encode_prompt:
+    [word embs; flattened asset-object embs; zero row][gather.idx]
+    (replaces the reference's host-driven interleave loop,
+    vima_policy.py:168-231). Returns (prompt_tokens (B, Lp, d), mask)."""
+    word_embs = apply("embed_prompt_words", word_batch)
+    img_embs = apply("embed_prompt_images", image_batch)
+    d = word_embs.shape[-1]
+    src = jnp.concatenate(
+        [word_embs, img_embs.reshape(-1, d), jnp.zeros((1, d), word_embs.dtype)], axis=0
+    )
+    return src[gather["idx"]], gather["mask"]
 
-    obs_tok, obs_mask = apply("forward_obs_token", objects, ee)  # (B, Q, E), (B, Q)
-    act_emb = apply("forward_action_token", state.last_action)  # (B, E)
 
+def make_chunk(state, obs_tok, obs_mask, act_emb):
+    """Per-step chunk bookkeeping shared by every family's rollout step:
+    [prev_action | obs tokens] chunk, its validity mask (the step-0 dummy
+    action slot stays masked forever via ``has_action``), cumsum positions
+    (padding consumes none, reference vima_policy.py:145-147), and the
+    slot-mask cache write."""
     chunk = jnp.concatenate([act_emb[:, None, :], obs_tok], axis=1)  # (B, 1+Q, E)
     chunk_mask = jnp.concatenate(
         [state.has_action[:, None], obs_mask.astype(bool)], axis=1
     )  # (B, 1+Q)
-
     chunk_pos = jnp.clip(
         state.pos_count[:, None] + jnp.cumsum(chunk_mask.astype(jnp.int32), axis=1) - 1,
         0,
         None,
     )
-
     slot_mask = jax.lax.dynamic_update_slice(
         state.slot_mask, chunk_mask, (0, state.write_index)
     )
+    return chunk, chunk_mask, chunk_pos, slot_mask
+
+
+def decode_chunk_actions(apply, out):
+    """Greedy actions from the chunk's last output slot (reference
+    example.py:191-195: take the final obs-group slot, argmax per head)."""
+    logits = apply("forward_action_decoder", out[:, -1, :])
+    actions = action_mode(logits, {k: list(v) for k, v in ACTION_DIMS.items()})
+    return {k: v.astype(jnp.int32) for k, v in actions.items()}
+
+
+def advance_state(state, actions, new_k, new_v, slot_mask, chunk_mask, chunk_len: int):
+    """Post-step state update shared by every family."""
+    return state.replace(
+        cache_k=new_k,
+        cache_v=new_v,
+        slot_mask=slot_mask,
+        write_index=state.write_index + chunk_len,
+        pos_count=state.pos_count + jnp.sum(chunk_mask.astype(jnp.int32), axis=1),
+        last_action=actions,
+        has_action=jnp.ones_like(state.has_action),
+    )
+
+
+def _rollout_step_core(policy, params, state: RolloutState, objects: Dict, ee: jnp.ndarray):
+    apply = lambda method, *a, **kw: policy.apply(params, *a, method=method, **kw)
+
+    obs_tok, obs_mask = apply("forward_obs_token", objects, ee)  # (B, Q, E), (B, Q)
+    act_emb = apply("forward_action_token", state.last_action)  # (B, E)
+    chunk, chunk_mask, chunk_pos, slot_mask = make_chunk(state, obs_tok, obs_mask, act_emb)
 
     out, new_k, new_v = apply(
         "step_chunk",
@@ -144,20 +178,9 @@ def _rollout_step_core(policy, params, state: RolloutState, objects: Dict, ee: j
         slot_mask,
         state.write_index,
     )
-    predicted = out[:, -1, :]  # last obs slot of this step's group
-    logits = apply("forward_action_decoder", predicted)
-    actions = action_mode(logits, {k: list(v) for k, v in ACTION_DIMS.items()})
-    actions = {k: v.astype(jnp.int32) for k, v in actions.items()}
-
-    C = chunk.shape[1]
-    new_state = state.replace(
-        cache_k=new_k,
-        cache_v=new_v,
-        slot_mask=slot_mask,
-        write_index=state.write_index + C,
-        pos_count=state.pos_count + jnp.sum(chunk_mask.astype(jnp.int32), axis=1),
-        last_action=actions,
-        has_action=jnp.ones_like(state.has_action),
+    actions = decode_chunk_actions(apply, out)
+    new_state = advance_state(
+        state, actions, new_k, new_v, slot_mask, chunk_mask, chunk.shape[1]
     )
     return actions, new_state
 
@@ -165,7 +188,14 @@ def _rollout_step_core(policy, params, state: RolloutState, objects: Dict, ee: j
 @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
 def rollout_step(policy, params, state: RolloutState, objects: Dict, ee: jnp.ndarray):
     """One env step. objects: dict(cropped_img (B,n,3,R,R), bbox (B,n,4),
-    mask (B,n) per view); ee: (B,) int. Returns (discrete_actions, new_state)."""
+    mask (B,n) per view); ee: (B,) int. Returns (discrete_actions, new_state).
+
+    Capacity contract: the caller must not step past
+    ``capacity // (1 + Q)`` env steps (Q = total objects across views).
+    ``write_index`` is traced, so overflow cannot raise in-graph; past the
+    cap ``dynamic_update_slice`` clamps and overwrites the newest slots,
+    corrupting subsequent actions. ``bridge.env_loop`` checks this at
+    setup; ``replay_rollout`` checks it at trace time."""
     return _rollout_step_core(policy, params, state, objects, ee)
 
 
@@ -177,6 +207,18 @@ def replay_rollout(policy, params, state: RolloutState, objects_seq: Dict, ee_se
 
     objects_seq leaves have leading (T, B, ...); ee_seq: (T, B).
     Returns (actions with leading (T, B, ...), final_state)."""
+    # Static capacity check (shapes are concrete at trace time): T steps of
+    # (1 + Q)-token chunks must fit the KV cache, or dynamic_update_slice
+    # would clamp and silently overwrite recent slots.
+    T = ee_seq.shape[0]
+    n_objs = sum(m.shape[2] for m in objects_seq["mask"].values())
+    capacity = state.slot_mask.shape[1]
+    if T * (1 + n_objs) > capacity:
+        raise ValueError(
+            f"replay of {T} steps x {1 + n_objs}-token chunks needs "
+            f"{T * (1 + n_objs)} cache slots but capacity is {capacity}; "
+            "raise encode_prompt's capacity (architecture cap: 512 positions)"
+        )
 
     def body(state, inputs):
         objects, ee = inputs

@@ -23,11 +23,14 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from vima_tpu.nn.action import action_mode
-from vima_tpu.policy.base import ACTION_DIMS
-from vima_tpu.policy.rollout import RolloutState, zero_actions
-
-_ACTION_DIM_LISTS = {k: list(v) for k, v in ACTION_DIMS.items()}
+from vima_tpu.policy.rollout import (
+    RolloutState,
+    advance_state,
+    assemble_prompt,
+    decode_chunk_actions,
+    make_chunk,
+    zero_actions,
+)
 
 
 # ------------------------------------------------------------------ Flamingo
@@ -38,14 +41,7 @@ def encode_prompt_flamingo(policy, params, word_batch, image_batch, gather, capa
     """image_batch: {"rgb": {view: (n_imgs, 3, H, W)}}; gather as in
     rollout.encode_prompt with n_objs_max = num_queries (all valid)."""
     apply = lambda method, *a, **kw: policy.apply(params, *a, method=method, **kw)
-    word_embs = apply("embed_prompt_words", word_batch)
-    img_embs = apply("embed_prompt_images", image_batch)  # (n_imgs, Qp, d)
-    d = word_embs.shape[-1]
-    src = jnp.concatenate(
-        [word_embs, img_embs.reshape(-1, d), jnp.zeros((1, d), word_embs.dtype)], axis=0
-    )
-    prompt_tokens = src[gather["idx"]]
-    prompt_mask = gather["mask"]
+    prompt_tokens, prompt_mask = assemble_prompt(apply, word_batch, image_batch, gather)
     prompt_tokens = apply("encode_prompt_assembled", prompt_tokens, prompt_mask)
     # flamingo: arange prompt positions (no position ids passed, ref :150-154)
     pk, pv = policy.apply(
@@ -82,17 +78,10 @@ def rollout_step_flamingo(policy, params, state: RolloutState, rgb: Dict, ee):
     obs_tok = apply("forward_obs_token", rgb, ee)  # (B, Q, E), all valid
     act_emb = apply("forward_action_token", state.last_action)
 
-    B, Q, E = obs_tok.shape
-    chunk = jnp.concatenate([act_emb[:, None, :], obs_tok], axis=1)
-    chunk_mask = jnp.concatenate(
-        [state.has_action[:, None], jnp.ones((B, Q), bool)], axis=1
+    B, Q, _ = obs_tok.shape
+    chunk, chunk_mask, chunk_pos, slot_mask = make_chunk(
+        state, obs_tok, jnp.ones((B, Q), bool), act_emb
     )
-    chunk_pos = jnp.clip(
-        state.pos_count[:, None] + jnp.cumsum(chunk_mask.astype(jnp.int32), axis=1) - 1,
-        0,
-        None,
-    )
-    slot_mask = jax.lax.dynamic_update_slice(state.slot_mask, chunk_mask, (0, state.write_index))
 
     out, new_k, new_v = policy.apply(
         params,
@@ -110,20 +99,10 @@ def rollout_step_flamingo(policy, params, state: RolloutState, rgb: Dict, ee):
             cache_k=a[5], cache_v=a[6], cache_mask=a[7], write_index=a[8],
         ),
     )
-    logits = apply("forward_action_decoder", out[:, -1, :])
-    actions = {
-        k: v.astype(jnp.int32) for k, v in action_mode(logits, _ACTION_DIM_LISTS).items()
-    }
-    new_state = state.replace(
-        cache_k=new_k,
-        cache_v=new_v,
-        slot_mask=slot_mask,
-        write_index=state.write_index + chunk.shape[1],
-        pos_count=state.pos_count + jnp.sum(chunk_mask.astype(jnp.int32), axis=1),
-        last_action=actions,
-        has_action=jnp.ones_like(state.has_action),
+    actions = decode_chunk_actions(apply, out)
+    return actions, advance_state(
+        state, actions, new_k, new_v, slot_mask, chunk_mask, chunk.shape[1]
     )
-    return actions, new_state
 
 
 # -------------------------------------------------------------- decoder-only
@@ -147,14 +126,7 @@ def encode_prompt_decoder_only(policy, params, word_batch, image_batch, gather, 
     Prompt positions: arange frozen at n_valid-1 over pads; sep at n_valid
     (reference vima_gato_policy.py:156-184)."""
     apply = lambda method, *a, **kw: policy.apply(params, *a, method=method, **kw)
-    word_embs = apply("embed_prompt_words", word_batch)
-    img_embs = apply("embed_prompt_images", image_batch)
-    d = word_embs.shape[-1]
-    src = jnp.concatenate(
-        [word_embs, img_embs.reshape(-1, d), jnp.zeros((1, d), word_embs.dtype)], axis=0
-    )
-    prompt_tokens = src[gather["idx"]]
-    prompt_mask = gather["mask"]
+    prompt_tokens, prompt_mask = assemble_prompt(apply, word_batch, image_batch, gather)
     prompt_tokens = apply("encode_prompt_assembled", prompt_tokens, prompt_mask)  # (B, Lp, E)
 
     B, Lp, E = prompt_tokens.shape
@@ -216,18 +188,10 @@ def rollout_step_decoder_only(policy, params, state: DecoderRolloutState, rgb: D
         obs_tok = obs_tok[:, None, :]
     act_emb = apply("forward_action_token", state.last_action)
 
-    B, Q, E = obs_tok.shape
-    chunk = jnp.concatenate([act_emb[:, None, :], obs_tok], axis=1)
-    chunk_mask = jnp.concatenate(
-        [state.has_action[:, None], jnp.ones((B, Q), bool)], axis=1
+    B, Q, _ = obs_tok.shape
+    chunk, chunk_mask, chunk_pos, slot_mask = make_chunk(
+        state, obs_tok, jnp.ones((B, Q), bool), act_emb
     )
-    # positions advance on real tokens only (dummy slot at step 0 is masked)
-    chunk_pos = jnp.clip(
-        state.pos_count[:, None] + jnp.cumsum(chunk_mask.astype(jnp.int32), axis=1) - 1,
-        0,
-        None,
-    )
-    slot_mask = jax.lax.dynamic_update_slice(state.slot_mask, chunk_mask, (0, state.write_index))
 
     out, new_k, new_v = policy.apply(
         params,
@@ -241,17 +205,7 @@ def rollout_step_decoder_only(policy, params, state: DecoderRolloutState, rgb: D
             a[0], a[1], cache_k=a[2], cache_v=a[3], cache_mask=a[4], write_index=a[5]
         ),
     )
-    logits = apply("forward_action_decoder", out[:, -1, :])
-    actions = {
-        k: v.astype(jnp.int32) for k, v in action_mode(logits, _ACTION_DIM_LISTS).items()
-    }
-    new_state = state.replace(
-        cache_k=new_k,
-        cache_v=new_v,
-        slot_mask=slot_mask,
-        write_index=state.write_index + chunk.shape[1],
-        pos_count=state.pos_count + jnp.sum(chunk_mask.astype(jnp.int32), axis=1),
-        last_action=actions,
-        has_action=jnp.ones_like(state.has_action),
+    actions = decode_chunk_actions(apply, out)
+    return actions, advance_state(
+        state, actions, new_k, new_v, slot_mask, chunk_mask, chunk.shape[1]
     )
-    return actions, new_state
