@@ -104,6 +104,16 @@ def run_episode_batch(
     B = len(envs)
     t_start = time.perf_counter()
 
+    # KV-cache capacity contract (see policy/rollout.py::rollout_step):
+    # fail before the expensive per-env prompt encodes, not after.
+    _limit = max_steps or max(env.task.oracle_max_steps + 2 for env in envs)
+    _chunk = 1 + 2 * max_objs  # action slot + objects over both views
+    if _limit * _chunk > capacity:
+        raise ValueError(
+            f"episode limit {_limit} x {_chunk}-token chunks exceeds KV "
+            f"capacity {capacity}; raise capacity= or lower max_steps/max_objs"
+        )
+
     # --- reset + per-env prompt encode (once per episode)
     obs_list, states, prompt_meta = [], [], []
     for env in envs:
@@ -148,17 +158,7 @@ def run_episode_batch(
     ]
     done = np.zeros(B, dtype=bool)
     steps = 0
-    limit = max_steps or max(
-        env.task.oracle_max_steps + 2 for env in envs
-    )
-    # KV-cache capacity contract (see policy/rollout.py::rollout_step):
-    # stepping past capacity // chunk would silently overwrite cache slots.
-    chunk = 1 + 2 * max_objs  # action slot + objects over both views
-    if limit * chunk > capacity:
-        raise ValueError(
-            f"episode limit {limit} x {chunk}-token chunks exceeds KV "
-            f"capacity {capacity}; raise capacity= or lower max_steps/max_objs"
-        )
+    limit = _limit
     while not done.all() and steps < limit:
         if detector is not None:
             # detector-in-the-loop (BASELINE config 3): replace simulator
