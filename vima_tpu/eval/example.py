@@ -31,6 +31,13 @@ def main(argv=None):
     p.add_argument("--max-objs", type=int, default=10)
     p.add_argument("--fake-env", action="store_true")
     p.add_argument("--tokenizer", type=str, default=None, help="local tokenizer.json")
+    p.add_argument(
+        "--trace",
+        type=str,
+        default=None,
+        help="capture a jax.profiler trace of the eval into this directory "
+        "(TensorBoard-viewable)",
+    )
     cfg = p.parse_args(argv)
 
     from vima_tpu.bridge.env_loop import ResetFaultTolerance, TimeLimit, run_episode_batch
@@ -84,14 +91,20 @@ def main(argv=None):
 
     envs = [make_env(i) for i in range(cfg.num_envs)]
     totals = {"episodes": 0, "successes": 0}
-    for ep in range(cfg.episodes):
-        results = run_episode_batch(
-            policy, params, envs, tokenize_prompt=tokenize, max_objs=cfg.max_objs
-        )
-        for r in results:
-            totals["episodes"] += 1
-            totals["successes"] += int(r["success"])
-            print(json.dumps({"episode": ep, **r}))
+
+    import contextlib
+
+    from vima_tpu.utils import trace_to
+
+    with trace_to(cfg.trace) if cfg.trace else contextlib.nullcontext():
+        for ep in range(cfg.episodes):
+            results = run_episode_batch(
+                policy, params, envs, tokenize_prompt=tokenize, max_objs=cfg.max_objs
+            )
+            for r in results:
+                totals["episodes"] += 1
+                totals["successes"] += int(r["success"])
+                print(json.dumps({"episode": ep, **r}))
     totals["success_rate"] = totals["successes"] / max(totals["episodes"], 1)
     totals["partition"] = cfg.partition
     totals["task"] = cfg.task
