@@ -93,6 +93,40 @@ def test_detector_in_the_loop():
     assert prepared2["objects"]["mask"]["front"].sum() == 1
 
 
+def test_closed_loop_no_recompiles_across_prompts():
+    """Episodes with different prompts must reuse the compiled executables:
+    word/image/prompt-length shapes are bucketed (env_loop buckets), so a
+    second run_episode_batch with new prompt text adds ZERO jit cache
+    entries (a stray shape costs minutes on the remote-compile service)."""
+    from vima_tpu.bridge.env_loop import run_episode_batch
+    from vima_tpu.bridge.tokenizer import PromptTokenizer
+    from vima_tpu.nn.t5 import T5Config
+    from vima_tpu.policy import VIMAPolicy, init_params
+    from vima_tpu.policy.rollout import encode_prompt, rollout_step
+
+    policy = VIMAPolicy(
+        embed_dim=64, xf_n_layers=1, sattn_n_heads=4, xattn_n_heads=4,
+        vit_width=32, vit_layers=1, vit_heads=2, vit_output_dim=32,
+        bbox_mlp_hidden_dim=32,
+        t5_cfg=T5Config(d_model=48, d_ff=96, num_layers=1, num_heads=4, d_kv=12, vocab_size=64),
+        vocab_size=64,
+    )
+    params = init_params(policy)
+    tok = PromptTokenizer(tokenizer_path=None, vocab_size=64)
+    tok._tok = None
+
+    envs = [FakeVimaEnv(seed=i) for i in range(2)]
+    run_episode_batch(policy, params, envs, tokenize_prompt=tok, max_objs=4, capacity=64)
+    n_enc, n_step = encode_prompt._cache_size(), rollout_step._cache_size()
+
+    # new episode, different prompt text (different word count, same buckets)
+    for env in envs:
+        env.prompt = "Now please put the {dragged_obj} right into the {base_obj} quickly."
+    run_episode_batch(policy, params, envs, tokenize_prompt=tok, max_objs=4, capacity=64)
+    assert encode_prompt._cache_size() == n_enc
+    assert rollout_step._cache_size() == n_step
+
+
 def test_closed_loop_fake_env():
     """Full closed loop: fake env + tiny random policy + fault tolerance."""
     from vima_tpu.bridge.env_loop import (

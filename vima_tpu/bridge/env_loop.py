@@ -5,6 +5,16 @@ Replaces the reference harness loop (scripts/example.py:100-240) with:
   * N parallel envs batched into ONE policy step (the reference runs one
     env, one forward per step) — episodes shard naturally over the batch
     (and over a ``dp`` mesh axis when one is provided);
+  * ONE bucketed prompt encode for the whole env batch: word/image counts
+    and the assembled prompt length are padded to fixed buckets, so new
+    episodes with different prompts reuse the compiled executable (the
+    reference recompiles nothing because it never compiles; here a stray
+    shape costs minutes on the remote-compile service);
+  * a two-stream software pipeline: while the device runs one half-batch's
+    policy step, the host steps the other half's simulators and preps the
+    next observations (survey §7 "host/device pipelining");
+  * done envs stop paying host work (no env.step / obs prep; their batch
+    slot replays the last prepared obs to keep device shapes static);
   * per-env fault isolation: a crashing env is re-reset without killing the
     batch (survey §5 "failure detection");
   * reset fault tolerance + time limits matching the reference wrappers
@@ -29,8 +39,27 @@ from vima_tpu.bridge.obs_prep import (
     stack_obs_batch,
 )
 from vima_tpu.bridge.prompt_prep import prompt_gather_indices
-from vima_tpu.policy.base import bound_actions, de_discretize_actions
+from vima_tpu.policy.base import (
+    N_DISCRETE_ROT_BINS,
+    N_DISCRETE_X_BINS,
+    N_DISCRETE_Y_BINS,
+)
 from vima_tpu.policy.rollout import encode_prompt, rollout_step
+
+# Shape buckets for the episode-start prompt encode. Word/image counts pad
+# the flat gather SOURCE (never attended, indices skip them), and the
+# assembled prompt length pads the sequence TAIL (masked, after all real
+# tokens) — both are numerics-neutral. The per-asset object capacity is NOT
+# bucketed: interior masked slots shift T5's relative positions, so it must
+# match the reference's max-objects-across-assets exactly
+# (vima/policy/vima_policy.py:168-231).
+PROMPT_WORD_BUCKET = 32
+PROMPT_IMG_BUCKET = 2
+PROMPT_LEN_BUCKET = 32
+
+
+def _ceil_to(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
 
 
 class ResetFaultTolerance:
@@ -77,6 +106,96 @@ class TimeLimit:
         return getattr(self.env, name)
 
 
+def _pad_axis(arr: np.ndarray, axis: int, size: int) -> np.ndarray:
+    pad = size - arr.shape[axis]
+    if pad <= 0:
+        return arr
+    widths = [(0, 0)] * arr.ndim
+    widths[axis] = (0, pad)
+    return np.pad(arr, widths)
+
+
+def _encode_prompt_group(
+    policy,
+    params,
+    tokenized: Sequence[tuple],
+    capacity: int,
+    *,
+    n_objs: int,
+    n_words_pad: int,
+    n_imgs_pad: int,
+    lp_pad: int,
+):
+    """One bucketed, batched prompt encode for a group of envs.
+
+    tokenized: per-env (word_ids int32[], token_types, image_batch, obj_masks)
+    from tokenize_prompt + prepare_prompt_assets. The flat word/image gather
+    sources are concatenated across the group in prompt order (the gather
+    index builder consumes them with running pointers) and padded to the
+    bucket sizes; per-asset object slots are padded to the group-wide
+    ``n_objs`` (reference max-across-assets semantics).
+    """
+    views = sorted(tokenized[0][2]["mask"].keys())
+    word_flat = np.concatenate([t[0] for t in tokenized]) if tokenized else np.zeros(0, np.int32)
+    n_words_real = len(word_flat)
+    word_flat = _pad_axis(word_flat.astype(np.int32), 0, n_words_pad)
+
+    types_all = [t[1] for t in tokenized]
+    obj_masks_cat: Dict[str, np.ndarray] | None
+    if n_objs > 0:
+        image_cat = {"cropped_img": {}, "bbox": {}, "mask": {}}
+        for v in views:
+            for key in image_cat:
+                parts = [_pad_axis(np.asarray(t[2][key][v]), 1, n_objs) for t in tokenized]
+                cat = np.concatenate(parts, axis=0) if parts else None
+                image_cat[key][v] = _pad_axis(cat, 0, n_imgs_pad)
+        obj_masks_cat = {v: image_cat["mask"][v] for v in views}
+    else:
+        # no placeholders anywhere in the group: empty image source
+        image_cat = {
+            key: {v: np.asarray(tokenized[0][2][key][v]) for v in views}
+            for key in ("cropped_img", "bbox", "mask")
+        }
+        obj_masks_cat = None
+        n_imgs_pad = 0
+
+    idx, mask = prompt_gather_indices(
+        types_all,
+        n_words_pad,
+        obj_masks_cat,
+        n_objs * len(views),
+        pad_to=lp_pad,
+        n_imgs=n_imgs_pad,
+    )
+    assert n_words_real <= n_words_pad
+    gather = {"idx": jnp.asarray(idx), "mask": jnp.asarray(mask)}
+    _, state = encode_prompt(
+        policy,
+        params,
+        jnp.asarray(word_flat),
+        jax.tree_util.tree_map(jnp.asarray, image_cat),
+        gather,
+        capacity,
+    )
+    return state
+
+
+def _actions_to_env(actions_np: Dict[str, np.ndarray], lo: np.ndarray, hi: np.ndarray):
+    """Host-side discrete -> env action conversion in pure numpy (one tiny
+    array pass; the jnp versions in policy.base are for jit paths — eager
+    device ops here would pay a tunnel round-trip per env per step).
+    De-discretize per reference vima_policy.py:301-322, then bound per
+    scripts/example.py:199-234."""
+    pos_div = np.asarray([N_DISCRETE_X_BINS, N_DISCRETE_Y_BINS], np.float32)
+    out = {}
+    for p in ("pose0", "pose1"):
+        pos = actions_np[f"{p}_position"].astype(np.float32) / pos_div
+        rot = actions_np[f"{p}_rotation"].astype(np.float32) / N_DISCRETE_ROT_BINS
+        out[f"{p}_position"] = np.clip(pos * (hi - lo) + lo, lo, hi)
+        out[f"{p}_rotation"] = np.clip(rot * 2.0 - 1.0, -1.0, 1.0)
+    return out
+
+
 def run_episode_batch(
     policy,
     params,
@@ -88,12 +207,14 @@ def run_episode_batch(
     max_steps: Optional[int] = None,
     detector=None,
     env_workers: int = 0,
+    pipeline: bool = True,
 ) -> List[Dict]:
     """Run one episode on each env, batched through one jitted policy.
 
-    All envs must share prompt/object capacity buckets (padded). For
-    simplicity each env gets its own prompt encode (prompts differ per
-    episode); the per-step policy call is batched across envs.
+    All envs share prompt/object capacity buckets (padded), so repeat calls
+    with different prompts hit the compile cache. With ``pipeline`` and
+    >=2 envs, the batch is split into two streams whose policy steps and
+    host work (simulator stepping + obs prep) overlap.
 
     tokenize_prompt(prompt) -> (token_ids, token_types, placeholder_names):
       token_types[i]==0 for word i (consuming token_ids in order), ==1 for a
@@ -105,7 +226,7 @@ def run_episode_batch(
     t_start = time.perf_counter()
 
     # KV-cache capacity contract (see policy/rollout.py::rollout_step):
-    # fail before the expensive per-env prompt encodes, not after.
+    # fail before the expensive prompt encode, not after.
     _limit = max_steps or max(env.task.oracle_max_steps + 2 for env in envs)
     _chunk = 1 + 2 * max_objs  # action slot + objects over both views
     if _limit * _chunk > capacity:
@@ -114,101 +235,118 @@ def run_episode_batch(
             f"capacity {capacity}; raise capacity= or lower max_steps/max_objs"
         )
 
-    # --- reset + per-env prompt encode (once per episode)
-    obs_list, states, prompt_meta = [], [], []
-    for env in envs:
-        obs = env.reset()
-        obs_list.append(obs)
-    # batch B=1 states? prompts differ in length -> pad to shared bucket
-    word_ids_all, token_types_all, assets_all = [], [], []
+    # --- reset + tokenize + asset prep (host)
+    obs_list = [env.reset() for env in envs]
+    tokenized = []
     for env in envs:
         ids, types, names = tokenize_prompt(env.prompt)
         image_batch, obj_masks = prepare_prompt_assets(env.prompt_assets, names)
-        word_ids_all.append(ids)
-        token_types_all.append(types)
-        assets_all.append((image_batch, obj_masks))
+        tokenized.append((np.asarray(ids, np.int32), types, image_batch, obj_masks))
 
-    # one encode per env (B=1 each) — prompt lengths vary; the heavy per-step
-    # path below is fully batched.
-    for b, env in enumerate(envs):
-        ids = np.asarray(word_ids_all[b], dtype=np.int32)
-        image_batch, obj_masks = assets_all[b]
-        n_objs_max = image_batch["mask"]["front"].shape[1] * 2 if image_batch["mask"] else 0
-        idx, mask = prompt_gather_indices(
-            [token_types_all[b]], len(ids), obj_masks, n_objs_max
-        )
-        gather = {"idx": jnp.asarray(idx), "mask": jnp.asarray(mask)}
-        _, state = encode_prompt(
+    # --- split into streams, then one bucketed encode per stream
+    views = sorted(tokenized[0][2]["mask"].keys())
+    n_streams = 2 if (pipeline and B >= 2) else 1
+    half = (B + n_streams - 1) // n_streams
+    groups = [list(range(i, min(i + half, B))) for i in range(0, B, half)]
+
+    n_objs = max(t[2]["mask"][views[0]].shape[1] for t in tokenized)
+    n_words_pad = _ceil_to(
+        max(sum(len(tokenized[b][0]) for b in g) for g in groups) or 1, PROMPT_WORD_BUCKET
+    )
+    n_imgs_pad = _ceil_to(
+        max(sum(tokenized[b][2]["mask"][views[0]].shape[0] for b in g) for g in groups),
+        PROMPT_IMG_BUCKET,
+    )
+    lp_req = max(
+        sum(1 if t == 0 else n_objs * len(views) for t in types) for _, types, _, _ in tokenized
+    )
+    lp_pad = _ceil_to(max(lp_req, 1), PROMPT_LEN_BUCKET)
+
+    streams = []
+    for g in groups:
+        state = _encode_prompt_group(
             policy,
             params,
-            jnp.asarray(ids),
-            jax.tree_util.tree_map(jnp.asarray, image_batch),
-            gather,
+            [tokenized[b] for b in g],
             capacity,
+            n_objs=n_objs,
+            n_words_pad=n_words_pad,
+            n_imgs_pad=n_imgs_pad,
+            lp_pad=lp_pad,
         )
-        states.append(state)
-
-    # batch the per-env states (they share capacity); prompts are padded to
-    # the max prompt length in the batch.
-    state = _concat_states(states)
+        streams.append({"ids": g, "state": state, "inflight": None, "steps": 0})
 
     results = [
         {"steps": 0, "success": False, "done": False, "step_latencies": []}
         for _ in range(B)
     ]
     done = np.zeros(B, dtype=bool)
-    steps = 0
-    limit = _limit
-    while not done.all() and steps < limit:
+    pool = (
+        concurrent.futures.ThreadPoolExecutor(env_workers) if env_workers > 1 else None
+    )
+
+    def _prep(b, obs):
         if detector is not None:
             # detector-in-the-loop (BASELINE config 3): replace simulator
             # segmentation; object ids come from the detections.
-            for obs in obs_list:
-                obs["segm"] = detector.detect(obs["rgb"], obs)
-            prepared = [
-                prepare_obs(obs, None, max_objs=max_objs) for obs in obs_list
-            ]
-        else:
-            prepared = [
-                prepare_obs(obs, env.meta_info, max_objs=max_objs)
-                for obs, env in zip(obs_list, envs)
-            ]
-        batch = stack_obs_batch(prepared)
-        t0 = time.perf_counter()
-        actions, state = rollout_step(
+            obs["segm"] = detector.detect(obs["rgb"], obs)
+            return prepare_obs(obs, None, max_objs=max_objs)
+        return prepare_obs(obs, envs[b].meta_info, max_objs=max_objs)
+
+    prepared = [_prep(b, obs_list[b]) for b in range(B)]
+
+    def _dispatch(s):
+        """Async policy step for one stream (jax dispatch returns before the
+        device finishes; the other stream's host work overlaps)."""
+        batch = stack_obs_batch([prepared[b] for b in s["ids"]])
+        actions, s["state"] = rollout_step(
             policy,
             params,
-            state,
+            s["state"],
             jax.tree_util.tree_map(jnp.asarray, batch["objects"]),
             jnp.asarray(batch["ee"]),
         )
-        actions_np = {k: np.asarray(v) for k, v in actions.items()}
+        s["inflight"] = actions
+
+    def _env_task(args):
+        """Simulator step + next obs prep for one env (worker pool: PyBullet
+        stepping and crop/resize are the host bottleneck and overlap across
+        envs and with the device)."""
+        i, b, env_action = args
+        env = envs[b]
+        try:
+            obs, _, d, info = env.step(env_action)
+        except Exception:
+            # per-env fault isolation: mark failed, keep the batch alive
+            return b, obs_list[b], True, {"success": False}, None
+        prep = None if d else _prep(b, obs)
+        return b, obs, d, info, prep
+
+    def _complete(s):
+        """Fetch the stream's actions (blocks on its device step), then do
+        the host tail: env stepping + obs prep for its active envs."""
+        t0 = time.perf_counter()
+        actions_np = {k: np.asarray(v) for k, v in s["inflight"].items()}
         dt = time.perf_counter() - t0
+        s["inflight"] = None
 
-        cont = de_discretize_actions({k: jnp.asarray(v) for k, v in actions_np.items()})
-
-        def step_env(b):
-            """Physics step for env b (runs in the worker pool: PyBullet
-            stepping is the host bottleneck and overlaps across envs —
-            survey §7 'host/device pipelining')."""
-            env = envs[b]
-            lo = jnp.asarray(env.meta_info["action_bounds"]["low"])
-            hi = jnp.asarray(env.meta_info["action_bounds"]["high"])
-            env_action = bound_actions({k: v[b] for k, v in cont.items()}, lo, hi)
-            env_action = {k: np.asarray(v) for k, v in env_action.items()}
-            try:
-                return env.step(env_action)
-            except Exception:
-                # per-env fault isolation: mark failed, keep the batch alive
-                return obs_list[b], 0.0, True, {"success": False}
-
-        active = [b for b in range(B) if not done[b]]
-        if env_workers > 1 and len(active) > 1:
-            with concurrent.futures.ThreadPoolExecutor(env_workers) as pool:
-                stepped = list(pool.map(step_env, active))
-        else:
-            stepped = [step_env(b) for b in active]
-        for b, (obs, _, d, info) in zip(active, stepped):
+        tasks = []
+        for i, b in enumerate(s["ids"]):
+            if done[b]:
+                continue
+            bounds = envs[b].meta_info["action_bounds"]
+            env_action = _actions_to_env(
+                {k: v[i] for k, v in actions_np.items()},
+                np.asarray(bounds["low"], np.float32),
+                np.asarray(bounds["high"], np.float32),
+            )
+            tasks.append((i, b, env_action))
+        stepped = (
+            list(pool.map(_env_task, tasks))
+            if pool is not None and len(tasks) > 1
+            else [_env_task(t) for t in tasks]
+        )
+        for b, obs, d, info, prep in stepped:
             results[b]["step_latencies"].append(dt)
             obs_list[b] = obs
             results[b]["steps"] += 1
@@ -216,7 +354,23 @@ def run_episode_batch(
                 done[b] = True
                 results[b]["done"] = True
                 results[b]["success"] = bool(info.get("success", False))
-        steps += 1
+            else:
+                prepared[b] = prep
+        s["steps"] += 1
+
+    try:
+        for s in streams:
+            _dispatch(s)
+        while any(s["inflight"] is not None for s in streams):
+            for s in streams:
+                if s["inflight"] is None:
+                    continue
+                _complete(s)
+                if s["steps"] < _limit and not all(done[b] for b in s["ids"]):
+                    _dispatch(s)
+    finally:
+        if pool is not None:
+            pool.shutdown()
 
     wall = time.perf_counter() - t_start
     for b in range(B):
@@ -224,47 +378,3 @@ def run_episode_batch(
         results[b]["p50_step_latency_ms"] = float(np.percentile(lat, 50) * 1e3) if lat else None
         results[b]["wall_time_s"] = wall
     return results
-
-
-def _concat_states(states):
-    """Concatenate per-env RolloutStates on the batch axis, padding prompts
-    to the longest in the batch."""
-    if len(states) == 1:
-        return states[0]
-    n_layer = len(states[0].prompt_k)
-    max_lp = max(s.prompt_k[0].shape[2] for s in states)
-
-    def pad_prompt(arr, axis):
-        pad = max_lp - arr.shape[axis]
-        if pad == 0:
-            return arr
-        widths = [(0, 0)] * arr.ndim
-        widths[axis] = (0, pad)
-        return jnp.pad(arr, widths)
-
-    import jax.numpy as jnp_
-
-    return states[0].replace(
-        prompt_k=tuple(
-            jnp_.concatenate([pad_prompt(s.prompt_k[i], 2) for s in states], axis=0)
-            for i in range(n_layer)
-        ),
-        prompt_v=tuple(
-            jnp_.concatenate([pad_prompt(s.prompt_v[i], 2) for s in states], axis=0)
-            for i in range(n_layer)
-        ),
-        prompt_mask=jnp_.concatenate([pad_prompt(s.prompt_mask, 1) for s in states], axis=0),
-        cache_k=tuple(
-            jnp_.concatenate([s.cache_k[i] for s in states], axis=0) for i in range(n_layer)
-        ),
-        cache_v=tuple(
-            jnp_.concatenate([s.cache_v[i] for s in states], axis=0) for i in range(n_layer)
-        ),
-        slot_mask=jnp_.concatenate([s.slot_mask for s in states], axis=0),
-        pos_count=jnp_.concatenate([s.pos_count for s in states], axis=0),
-        last_action={
-            k: jnp_.concatenate([s.last_action[k] for s in states], axis=0)
-            for k in states[0].last_action
-        },
-        has_action=jnp_.concatenate([s.has_action for s in states], axis=0),
-    )

@@ -23,6 +23,7 @@ def prompt_gather_indices(
     obj_masks: Dict[str, np.ndarray] | None,
     n_objs_max: int,
     pad_to: int | None = None,
+    n_imgs: int | None = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Build (idx, mask) for the device-side prompt gather.
 
@@ -34,6 +35,10 @@ def prompt_gather_indices(
     ``sorted(views)`` to per-image object masks of length n_objs_max.
     For encoders whose per-image tokens are always valid (Gato patch tokens,
     perceiver queries, single cls token), pass ``None``.
+
+    n_imgs: size of the gather source's image axis when the caller pads the
+    flat image array past the number of images the prompts consume (shape
+    bucketing — see bridge.env_loop); defaults to the consumed count.
     """
     if obj_masks is not None:
         views = sorted(obj_masks.keys())
@@ -64,7 +69,11 @@ def prompt_gather_indices(
     n_imgs_total = 0
     for prompt in raw_prompts_token_type:
         n_imgs_total += sum(1 for t in prompt if t == 1)
-    zero_index = n_words + n_imgs_total * n_objs_max
+    if n_imgs is None:
+        n_imgs = n_imgs_total
+    elif n_imgs < n_imgs_total:
+        raise ValueError(f"n_imgs={n_imgs} < images consumed by prompts ({n_imgs_total})")
+    zero_index = n_words + n_imgs * n_objs_max
 
     for b, prompt in enumerate(raw_prompts_token_type):
         l = 0
