@@ -121,15 +121,29 @@ def main(argv=None):
 
     eval_every = max(cfg.eval_every, 0)  # 0 disables periodic eval (final-only)
     start_step = trainer.step_count
-    for batch in ds.batches(cfg.batch_size, epochs=cfg.epochs):
+    window_t0, window_step0 = time.perf_counter(), start_step
+    # prefetch_batches device-puts batch t+1 while the device runs step t;
+    # metrics stay on device between logging points (no per-step host sync)
+    for batch in trainer.prefetch_batches(ds.batches(cfg.batch_size, epochs=cfg.epochs)):
         if trainer.step_count >= cfg.steps:
             break  # e.g. resumed from a state already at --steps
-        batch = jax.tree_util.tree_map(jnp.asarray, batch)
         with tracker.measure():
             metrics = trainer.step(batch)
         step = trainer.step_count
         if step % 10 == 0 or step == start_step + 1:
-            logger.log("train_step", step=step, **metrics, **tracker.summary())
+            # fetching metrics blocks until every queued step finished, so
+            # the window wall-clock is an honest throughput number
+            fetched = trainer.fetch(metrics)
+            now = time.perf_counter()
+            sps = (step - window_step0) / max(now - window_t0, 1e-9)
+            window_t0, window_step0 = now, step
+            logger.log(
+                "train_step",
+                step=step,
+                steps_per_sec=round(sps, 3),
+                **fetched,
+                **tracker.summary(),
+            )
         if eval_ds is not None and eval_every and step % eval_every == 0:
             run_eval(step)
 

@@ -188,6 +188,10 @@ class Trainer:
         self._compiled = jax.jit(step, donate_argnums=(0, 1))
 
     def step(self, batch) -> Dict[str, Any]:
+        """One sharded update. Returned metrics are DEVICE arrays ("lr" is
+        host math) — fetching them every step would stall the pipeline one
+        host-device round-trip per step (~30 ms on the tunneled TPU); call
+        :meth:`fetch` at your logging cadence instead."""
         if self.params is None:
             raise RuntimeError("call init(params) first")
         batch = jax.device_put(batch, data_sharding(self.mesh, batch))
@@ -197,10 +201,28 @@ class Trainer:
         self.params, self.opt_state, metrics = self._compiled(
             self.params, self.opt_state, batch, sub
         )
-        metrics = jax.tree_util.tree_map(float, metrics)
         metrics["lr"] = float(self._schedule(self.step_count))
         self.step_count += 1
         return metrics
+
+    @staticmethod
+    def fetch(metrics: Dict[str, Any]) -> Dict[str, float]:
+        """Materialize device metrics to host floats (one blocking sync)."""
+        return {k: float(v) for k, v in metrics.items()}
+
+    def prefetch_batches(self, iterable):
+        """Device-put each batch (with its dp sharding) one step ahead, so
+        the host->device transfer of batch t+1 overlaps the device running
+        step t (transfers are async; the jit call picks up committed
+        arrays without a second copy)."""
+        prev = None
+        for batch in iterable:
+            batch = jax.device_put(batch, data_sharding(self.mesh, batch))
+            if prev is not None:
+                yield prev
+            prev = batch
+        if prev is not None:
+            yield prev
 
     def eval_step(self, batch) -> Dict[str, Any]:
         """Validation pass: bc_loss with train=False (no dropout, no update)."""
@@ -214,16 +236,27 @@ class Trainer:
         metrics = self._eval_compiled(self.params, batch)
         return jax.tree_util.tree_map(float, metrics)
 
+    def _eval_step_device(self, batch):
+        batch = jax.device_put(batch, data_sharding(self.mesh, batch))
+        if self._eval_compiled is None:
+            self._eval_compiled = jax.jit(
+                lambda p, b: bc_loss(self.policy, p, b, train=False)[1]
+            )
+        return self._eval_compiled(self.params, batch)
+
     def evaluate(self, batches) -> Dict[str, Any]:
         """Mean metrics over an iterable of validation batches.
+
+        Per-batch metrics stay on device (summed host-side as async arrays);
+        the single blocking fetch happens in the final float conversion.
 
         Raises if the iterable is empty (an eval set smaller than the
         batch size yields zero batches — silently logging nothing would
         mask a misconfiguration)."""
-        sums: Dict[str, float] = {}
+        sums: Dict[str, Any] = {}
         n = 0
         for batch in batches:
-            for k, v in self.eval_step(batch).items():
+            for k, v in self._eval_step_device(batch).items():
                 sums[k] = sums.get(k, 0.0) + v
             n += 1
         if n == 0:
@@ -231,7 +264,10 @@ class Trainer:
                 "evaluate() received no batches — is the eval set smaller "
                 "than the batch size? (the dataset drops partial batches)"
             )
-        return {"val/num_batches": float(n), **{f"val/{k}": v / n for k, v in sums.items()}}
+        return {
+            "val/num_batches": float(n),
+            **{f"val/{k}": float(v) / n for k, v in sums.items()},
+        }
 
     # -- full train-state checkpointing (params + opt state + step + rng) --
     # The reference cannot save or resume at all (load-only torch ckpts,
