@@ -19,16 +19,20 @@ __all__ = [
 ]
 
 
-def create_policy_from_ckpt(ckpt_path, device=None):
-    """Load a reference PyTorch checkpoint and return (VIMAPolicy, params).
+def create_policy_from_ckpt(ckpt_path, device=None, family=None):
+    """Load a reference PyTorch checkpoint and return (policy, params).
 
     Mirrors reference vima/__init__.py:7-16: reads ``{"cfg": ..., "state_dict": ...}``,
-    builds the flagship ``VIMAPolicy`` from cfg, strips the ``policy.`` prefix and
-    converts every tensor (strict coverage) into a Flax param tree.
+    builds the policy from cfg, strips the ``policy.`` prefix and converts
+    every tensor (strict coverage) into a Flax param tree.
+
+    Beyond the reference (which can only load the flagship VIMAPolicy),
+    ``family`` selects 'vima' | 'gato' | 'gpt' | 'flamingo'; None
+    auto-detects from the state-dict structure.
 
     The ``device`` argument is accepted for CLI compatibility and ignored:
     JAX array placement is controlled by jit/sharding.
     """
     from vima_tpu.ckpt.convert import load_policy_from_torch_ckpt
 
-    return load_policy_from_torch_ckpt(ckpt_path)
+    return load_policy_from_torch_ckpt(ckpt_path, family=family)

@@ -478,7 +478,7 @@ def _detect_geometry(sd: Dict) -> Dict:
         m = re.match(r"t5_prompt_encoder\.t5\.encoder\.block\.(\d+)\.", k)
         if m:
             t5_blocks.add(int(m.group(1)))
-        m = re.search(r"obj_encoder\..*\.resblocks\.(\d+)\.", k)
+        m = re.match(r"obj_encoder\.cropped_img_encoder\.vit\.blocks\.(\d+)\.", k)
         if m:
             vit_blocks.add(int(m.group(1)))
     out = {
@@ -503,23 +503,54 @@ def _detect_geometry(sd: Dict) -> Dict:
     return out
 
 
-def load_policy_from_torch_ckpt(ckpt_path):
-    """torch.load a released VIMA ckpt and return (policy_module, params)."""
+def detect_family(flat_sd: Dict) -> str:
+    """Infer the policy family from (prefix-stripped) state-dict keys.
+
+    The reference loads only VIMAPolicy (vima/__init__.py:7-16); this
+    framework trains and loads all four families, so the loader
+    distinguishes them by their structural signatures: the Flamingo
+    perceiver (reference misspells it ``peceiver``, obj_encoder.py:182),
+    the in-stream GPT decoder (``transformer.``) shared by Gato/GPT —
+    split by the GPT variant's ViT cls token — and the x-attn decoder
+    otherwise (flagship VIMA)."""
+    keys = list(flat_sd)
+    if any(k.startswith("obj_encoder.peceiver.") for k in keys):
+        return "flamingo"
+    if any(k.startswith("transformer.") for k in keys):
+        if "obj_encoder.cropped_img_encoder.vit.cls_token" in flat_sd:
+            return "gpt"
+        return "gato"
+    return "vima"
+
+
+def _decoder_layers(flat_sd: Dict, prefix: str) -> int | None:
+    import re
+
+    blocks = {
+        int(m.group(1))
+        for k in flat_sd
+        if (m := re.match(rf"{prefix}\.h\.(\d+)\.", k))
+    }
+    return (max(blocks) + 1) if blocks else None
+
+
+def load_policy_from_torch_ckpt(ckpt_path, family: str | None = None):
+    """torch.load a VIMA-format ckpt and return (policy_module, params).
+
+    family: 'vima' | 'gato' | 'gpt' | 'flamingo' | None (auto-detect from
+    the state-dict structure). The reference repo can only load the
+    flagship (vima/__init__.py:10); here every family round-trips."""
     import torch
 
     from vima_tpu.nn.t5 import T5Config
-    from vima_tpu.policy.vima import VIMAPolicy
 
     ckpt = torch.load(ckpt_path, map_location="cpu", weights_only=False)
     cfg = dict(ckpt["cfg"])
     flat = strip_prefix(ckpt["state_dict"])
+    if family is None:
+        family = detect_family(flat)
     geo = _detect_geometry(flat)
-    kw = dict(
-        embed_dim=cfg["embed_dim"],
-        xf_n_layers=cfg["xf_n_layers"],
-        sattn_n_heads=cfg["sattn_n_heads"],
-        xattn_n_heads=cfg["xattn_n_heads"],
-    )
+
     default_t5 = T5Config()
     t5_cfg = T5Config(
         d_model=geo.get("t5_d_model", default_t5.d_model),
@@ -529,15 +560,63 @@ def load_policy_from_torch_ckpt(ckpt_path):
         d_kv=geo.get("t5_d_kv", default_t5.d_kv),
         vocab_size=geo.get("t5_vocab", default_t5.vocab_size),
     )
+    kw = {}
     if t5_cfg != default_t5:
         kw["t5_cfg"] = t5_cfg
         kw["vocab_size"] = t5_cfg.vocab_size
     if geo["vit_layers"] != 4:
         kw["vit_layers"] = geo["vit_layers"]
-    policy = VIMAPolicy(**kw)
-    params = convert_vima_policy(
-        flat, cfg, t5_num_layers=geo["t5_num_layers"], vit_layers=geo["vit_layers"]
-    )
+
+    if family == "vima":
+        from vima_tpu.policy.vima import VIMAPolicy
+
+        policy = VIMAPolicy(
+            embed_dim=cfg["embed_dim"],
+            xf_n_layers=cfg["xf_n_layers"],
+            sattn_n_heads=cfg["sattn_n_heads"],
+            xattn_n_heads=cfg["xattn_n_heads"],
+            **kw,
+        )
+        params = convert_vima_policy(
+            flat, cfg, t5_num_layers=geo["t5_num_layers"], vit_layers=geo["vit_layers"]
+        )
+    elif family in ("gato", "gpt"):
+        from vima_tpu.policy import VIMAGatoPolicy, VIMAGPTPolicy
+
+        n_layer = cfg.get("n_layer") or _decoder_layers(flat, "transformer") or 12
+        cls = VIMAGatoPolicy if family == "gato" else VIMAGPTPolicy
+        policy = cls(
+            embed_dim=cfg["embed_dim"],
+            n_layer=n_layer,
+            n_head=cfg.get("n_head", 12),
+            **kw,
+        )
+        conv = convert_gato_policy if family == "gato" else convert_gpt_policy
+        params = conv(
+            flat,
+            {**cfg, "n_layer": n_layer},
+            t5_num_layers=geo["t5_num_layers"],
+            vit_layers=geo["vit_layers"],
+        )
+    elif family == "flamingo":
+        from vima_tpu.policy import VIMAFlamingoPolicy
+
+        dt_n_layers = cfg.get("dt_n_layers") or _decoder_layers(flat, "xattn_gpt") or 12
+        policy = VIMAFlamingoPolicy(
+            embed_dim=cfg["embed_dim"],
+            dt_n_layers=dt_n_layers,
+            dt_n_heads=cfg.get("dt_n_heads", 12),
+            xattn_n_heads=cfg.get("xattn_n_heads", 12),
+            **kw,
+        )
+        params = convert_flamingo_policy(
+            flat,
+            {**cfg, "dt_n_layers": dt_n_layers},
+            t5_num_layers=geo["t5_num_layers"],
+            vit_layers=geo["vit_layers"],
+        )
+    else:
+        raise ValueError(f"unknown policy family {family!r}")
     import jax
 
     params = jax.tree.map(lambda x: jax.numpy.asarray(x), params)
@@ -561,6 +640,10 @@ def main(argv=None):
         "--dtype", default=None, choices=[None, "bf16", "fp32"],
         help="optionally cast stored params (default: keep fp32)",
     )
+    p.add_argument(
+        "--family", default=None, choices=[None, "vima", "gato", "gpt", "flamingo"],
+        help="policy family (default: auto-detect from state-dict keys)",
+    )
     args = p.parse_args(argv)
 
     import jax.numpy as jnp
@@ -568,9 +651,14 @@ def main(argv=None):
     from vima_tpu.ckpt.io import import_torch_checkpoint
 
     dtype = jnp.bfloat16 if args.dtype == "bf16" else None
-    _, params = import_torch_checkpoint(args.torch_ckpt, args.out_dir, dtype=dtype)
+    policy, params = import_torch_checkpoint(
+        args.torch_ckpt, args.out_dir, dtype=dtype, family=args.family
+    )
     n = sum(x.size for x in __import__("jax").tree_util.tree_leaves(params))
-    print(f"converted {args.torch_ckpt} -> {args.out_dir} ({n/1e6:.1f}M params)")
+    print(
+        f"converted {args.torch_ckpt} -> {args.out_dir} "
+        f"({type(policy).__name__}, {n/1e6:.1f}M params)"
+    )
 
 
 if __name__ == "__main__":

@@ -74,14 +74,15 @@ def _policy_config_dict(policy) -> Dict:
     return out
 
 
-def import_torch_checkpoint(torch_ckpt_path, out_path, *, dtype=None):
+def import_torch_checkpoint(torch_ckpt_path, out_path, *, dtype=None, family=None):
     """One-shot: released torch ckpt -> orbax (no torch needed afterwards).
 
-    ``dtype`` optionally casts stored params (e.g. jnp.bfloat16).
+    ``dtype`` optionally casts stored params (e.g. jnp.bfloat16);
+    ``family`` picks the policy family (default: auto-detect from keys).
     Returns (policy, params)."""
     from vima_tpu.ckpt.convert import cast_params, load_policy_from_torch_ckpt
 
-    policy, params = load_policy_from_torch_ckpt(torch_ckpt_path)
+    policy, params = load_policy_from_torch_ckpt(torch_ckpt_path, family=family)
     if dtype is not None:
         params = cast_params(params, dtype)
     save_checkpoint(out_path, policy, params, extra={"source": str(torch_ckpt_path)})
