@@ -43,12 +43,17 @@ class PromptTokenizer:
     asset (reference prepare_prompt, example.py:243-371).
     """
 
-    def __init__(self, tokenizer_path: str | None = None, vocab_size: int = 32100):
+    def __init__(
+        self,
+        tokenizer_path: str | None = None,
+        vocab_size: int = 32100,
+        offline: bool = False,
+    ):
         self._tok = None
         self._vocab_size = vocab_size
         if tokenizer_path is not None:
             self._tok = self._load_hf(tokenizer_path)
-        else:
+        elif not offline:
             try:
                 self._tok = self._load_hf("t5-base")
             except Exception:
@@ -68,6 +73,22 @@ class PromptTokenizer:
     @property
     def using_fallback(self) -> bool:
         return self._tok is None
+
+    def require_real(self) -> None:
+        """Hard-fail when only the hash fallback is available.
+
+        A real checkpoint's frozen word-embedding table is indexed by real
+        t5-base ids (reference vima/nn/prompt_encoder/word_embd.py:11-16);
+        the hash fallback's ids would silently produce garbage embeddings,
+        so checkpoint-driven runs must refuse to proceed without the real
+        tokenizer (reference scripts/example.py:29-75)."""
+        if self._tok is None:
+            raise RuntimeError(
+                "the t5-base tokenizer is unavailable (no network / HF cache) "
+                "and the offline hash fallback would feed a trained checkpoint "
+                "garbage token ids. Pass --tokenizer /path/to/tokenizer.json "
+                "(an exported t5-base fast tokenizer) to run a real checkpoint."
+            )
 
     def __call__(self, prompt: str) -> Tuple[List[int], List[int], List[str]]:
         if self._tok is not None:

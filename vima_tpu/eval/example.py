@@ -63,6 +63,10 @@ def main(argv=None):
 
     tokenize = PromptTokenizer(cfg.tokenizer, vocab_size=policy.vocab_size)
     if tokenize.using_fallback:
+        if cfg.ckpt is not None:
+            # garbage ids into a trained embedding table would silently
+            # produce nonsense actions — refuse instead
+            tokenize.require_real()
         print("note: t5 tokenizer unavailable; using offline hash tokenizer", file=sys.stderr)
 
     def make_env(i):
