@@ -46,6 +46,39 @@ def set_flash_enabled(flag: bool) -> None:
     _USE_FLASH = bool(flag)
 
 
+# Trace-time kernel-dispatch counters: {(path, Lq, Lk, tile_wants_flash): n}.
+# ``tile_wants_flash`` is the pure shape test (independent of backend/enable
+# flags), so a benchmark can fail loudly when a flash-worthy shape silently
+# fell back to XLA (e.g. a backend-detection regression). Counts accumulate
+# per trace, not per execution — they answer "which kernel did this shape
+# compile to", which is the invariant worth asserting.
+_dispatch_counts: dict = {}
+
+
+def _tile_wants_flash(Lq: int, Lk: int) -> bool:
+    return Lq >= _FLASH_MIN_Q and Lq * Lk >= _FLASH_MIN_SCORE_TILE
+
+
+def _note_dispatch(path: str, Lq: int, Lk: int) -> None:
+    key = (path, Lq, Lk, _tile_wants_flash(Lq, Lk))
+    _dispatch_counts[key] = _dispatch_counts.get(key, 0) + 1
+
+
+def dispatch_counts() -> dict:
+    """Snapshot of trace-time attention dispatch decisions."""
+    return dict(_dispatch_counts)
+
+
+def reset_dispatch_counts() -> None:
+    _dispatch_counts.clear()
+
+
+def flash_fallbacks() -> list:
+    """Shapes that wanted the fused kernel but traced to XLA (should be
+    empty on TPU with flash enabled)."""
+    return [k for k in _dispatch_counts if k[0] == "xla" and k[3]]
+
+
 def strict_parity_mode():
     """Context manager: force 'highest' matmul precision.
 
@@ -117,11 +150,13 @@ def attend(
     if fp32_logits and _flash_eligible(q, k):
         from vima_tpu.ops.flash_attention import fused_attention
 
+        _note_dispatch("flash", Lq, Lk)
         return fused_attention(
             q, k, v, scale=scale, causal=causal, q_offset=q_offset,
             key_mask=key_mask, bias=bias,
         )
 
+    _note_dispatch("xla", Lq, Lk)
     if fp32_logits:
         q = q.astype(jnp.float32)
         k = k.astype(jnp.float32)
