@@ -20,6 +20,26 @@ def test_example_cli_fake_env(capsys):
     assert all(r["done"] for r in per_episode)
 
 
+def test_example_cli_all_partitions_sweep(capsys):
+    from vima_tpu.eval import example
+
+    example.main(
+        ["--fake-env", "--all-partitions", "--num-envs", "1", "--episodes", "1",
+         "--max-objs", "4"]
+    )
+    out = capsys.readouterr().out.strip().splitlines()
+    result = json.loads(out[-1])
+    # the 4-level protocol: every partition present, every fake task run
+    assert sorted(result["levels"].keys()) == sorted(example.ALL_PARTITIONS)
+    for part, tasks in result["sweep"].items():
+        assert set(tasks) == set(example._FAKE_TASKS[part])
+        for t in tasks.values():
+            assert t["episodes"] == 1
+            assert 0.0 <= t["success_rate"] <= 1.0
+    assert 0.0 <= result["mean_success_rate"] <= 1.0
+    assert result["episodes_total"] == sum(len(v) for v in example._FAKE_TASKS.values())
+
+
 def test_record_cli(tmp_path, capsys):
     from vima_tpu.eval import record
     from vima_tpu.train.data import TrajectoryDataset

@@ -9,7 +9,12 @@ Differences by design (TPU-first):
   * the policy runs KV-cached on the accelerator; PyBullet stays host-CPU;
   * ``--num-envs`` batches parallel envs through one policy step;
   * per-episode JSONL metrics on stdout (success, steps, p50 latency) —
-    the reference has no metrics at all (survey §5).
+    the reference has no metrics at all (survey §5);
+  * ``--all-partitions`` sweeps the full 4-level generalization protocol
+    (L1 placement / L2 combinatorial / L3 novel object / L4 novel task,
+    reference model-card.md:29-31) over every task in each partition and
+    prints one aggregated JSON summary — the reference runs exactly one
+    partition x task per invocation (scripts/example.py:499-506).
 ``--fake-env`` runs the synthetic environment (no vima_bench install).
 """
 
@@ -18,6 +23,104 @@ from __future__ import annotations
 import argparse
 import json
 import sys
+
+# The 4-level evaluation protocol (reference model-card.md:29-31; README.md:49).
+ALL_PARTITIONS = (
+    "placement_generalization",
+    "combinatorial_generalization",
+    "novel_object_generalization",
+    "novel_task_generalization",
+)
+
+# Stand-in task lists for --fake-env sweeps (real runs query
+# vima_bench.PARTITION_TO_SPECS). Distinct names exercise the aggregation
+# and the compile-cache reuse across tasks; seeds differ per task.
+_FAKE_TASKS = {
+    "placement_generalization": ["visual_manipulation", "scene_understanding"],
+    "combinatorial_generalization": ["novel_adj", "novel_noun"],
+    "novel_object_generalization": ["novel_adj_and_noun"],
+    "novel_task_generalization": ["follow_order", "twist"],
+}
+
+
+def _partition_tasks(partition: str, fake_env: bool):
+    if fake_env:
+        return list(_FAKE_TASKS[partition])
+    from vima_bench import PARTITION_TO_SPECS  # external dependency
+
+    return sorted(PARTITION_TO_SPECS["test"][partition].keys())
+
+
+def _build_policy(cfg):
+    if cfg.ckpt is not None:
+        from vima_tpu import create_policy_from_ckpt
+
+        return create_policy_from_ckpt(cfg.ckpt, cfg.device)
+    # random-init tiny policy (smoke / fake-env runs)
+    from vima_tpu.nn.t5 import T5Config
+    from vima_tpu.policy import VIMAPolicy, init_params
+
+    policy = VIMAPolicy(
+        embed_dim=256, xf_n_layers=2, sattn_n_heads=4, xattn_n_heads=4,
+        vit_width=64, vit_layers=1, vit_heads=4, vit_output_dim=64,
+        bbox_mlp_hidden_dim=64,
+        t5_cfg=T5Config(d_model=128, d_ff=256, num_layers=2, num_heads=4, d_kv=32),
+    )
+    params = init_params(policy)
+    print("note: no --ckpt given; running a random-init policy", file=sys.stderr)
+    return policy, params
+
+
+def _make_envs(cfg, partition: str, task: str, seed_base: int):
+    from vima_tpu.bridge.env_loop import ResetFaultTolerance, TimeLimit
+
+    def make_env(i):
+        if cfg.fake_env:
+            from vima_tpu.bridge.fake_env import FakeVimaEnv
+
+            return TimeLimit(
+                ResetFaultTolerance(FakeVimaEnv(seed=seed_base + i)), bonus_steps=2
+            )
+        from vima_bench import PARTITION_TO_SPECS, make  # external dependency
+
+        return TimeLimit(
+            ResetFaultTolerance(
+                make(
+                    task,
+                    modalities=["segm", "rgb"],
+                    task_kwargs=PARTITION_TO_SPECS["test"][partition][task],
+                    seed=seed_base + i,
+                    render_prompt=False,
+                    display_debug_window=False,
+                    hide_arm_rgb=False,
+                )
+            ),
+            bonus_steps=2,
+        )
+
+    return [make_env(i) for i in range(cfg.num_envs)]
+
+
+def _run_partition_task(policy, params, tokenize, cfg, partition: str, task: str, *, seed_base: int, emit_episodes: bool = True):
+    """Run cfg.episodes batched episodes on one partition x task; return its
+    summary dict (and print per-episode JSONL when emit_episodes)."""
+    from vima_tpu.bridge.env_loop import run_episode_batch
+
+    envs = _make_envs(cfg, partition, task, seed_base)
+    totals = {"episodes": 0, "successes": 0}
+    for ep in range(cfg.episodes):
+        results = run_episode_batch(
+            policy, params, envs, tokenize_prompt=tokenize, max_objs=cfg.max_objs
+        )
+        for r in results:
+            totals["episodes"] += 1
+            totals["successes"] += int(r["success"])
+            if emit_episodes:
+                print(json.dumps({"partition": partition, "task": task, "episode": ep, **r}))
+    totals["success_rate"] = totals["successes"] / max(totals["episodes"], 1)
+    totals["partition"] = partition
+    totals["task"] = task
+    return totals
 
 
 def main(argv=None):
@@ -32,6 +135,12 @@ def main(argv=None):
     p.add_argument("--fake-env", action="store_true")
     p.add_argument("--tokenizer", type=str, default=None, help="local tokenizer.json")
     p.add_argument(
+        "--all-partitions",
+        action="store_true",
+        help="sweep every task in all 4 generalization partitions (L1-L4) and "
+        "print one aggregated JSON summary",
+    )
+    p.add_argument(
         "--trace",
         type=str,
         default=None,
@@ -40,26 +149,9 @@ def main(argv=None):
     )
     cfg = p.parse_args(argv)
 
-    from vima_tpu.bridge.env_loop import ResetFaultTolerance, TimeLimit, run_episode_batch
     from vima_tpu.bridge.tokenizer import PromptTokenizer
 
-    if cfg.ckpt is not None:
-        from vima_tpu import create_policy_from_ckpt
-
-        policy, params = create_policy_from_ckpt(cfg.ckpt, cfg.device)
-    else:
-        # random-init tiny policy (smoke / fake-env runs)
-        from vima_tpu.nn.t5 import T5Config
-        from vima_tpu.policy import VIMAPolicy, init_params
-
-        policy = VIMAPolicy(
-            embed_dim=256, xf_n_layers=2, sattn_n_heads=4, xattn_n_heads=4,
-            vit_width=64, vit_layers=1, vit_heads=4, vit_output_dim=64,
-            bbox_mlp_hidden_dim=64,
-            t5_cfg=T5Config(d_model=128, d_ff=256, num_layers=2, num_heads=4, d_kv=32),
-        )
-        params = init_params(policy)
-        print("note: no --ckpt given; running a random-init policy", file=sys.stderr)
+    policy, params = _build_policy(cfg)
 
     tokenize = PromptTokenizer(cfg.tokenizer, vocab_size=policy.vocab_size)
     if tokenize.using_fallback:
@@ -69,50 +161,48 @@ def main(argv=None):
             tokenize.require_real()
         print("note: t5 tokenizer unavailable; using offline hash tokenizer", file=sys.stderr)
 
-    def make_env(i):
-        if cfg.fake_env:
-            from vima_tpu.bridge.fake_env import FakeVimaEnv
-
-            return TimeLimit(
-                ResetFaultTolerance(FakeVimaEnv(seed=42 + i)), bonus_steps=2
-            )
-        from vima_bench import PARTITION_TO_SPECS, make  # external dependency
-
-        return TimeLimit(
-            ResetFaultTolerance(
-                make(
-                    cfg.task,
-                    modalities=["segm", "rgb"],
-                    task_kwargs=PARTITION_TO_SPECS["test"][cfg.partition][cfg.task],
-                    seed=42 + i,
-                    render_prompt=False,
-                    display_debug_window=False,
-                    hide_arm_rgb=False,
-                )
-            ),
-            bonus_steps=2,
-        )
-
-    envs = [make_env(i) for i in range(cfg.num_envs)]
-    totals = {"episodes": 0, "successes": 0}
-
     import contextlib
 
     from vima_tpu.utils import trace_to
 
     with trace_to(cfg.trace) if cfg.trace else contextlib.nullcontext():
-        for ep in range(cfg.episodes):
-            results = run_episode_batch(
-                policy, params, envs, tokenize_prompt=tokenize, max_objs=cfg.max_objs
+        if cfg.all_partitions:
+            sweep = {}
+            seed = 42
+            for partition in ALL_PARTITIONS:
+                sweep[partition] = {}
+                for task in _partition_tasks(partition, cfg.fake_env):
+                    summary = _run_partition_task(
+                        policy, params, tokenize, cfg, partition, task,
+                        seed_base=seed, emit_episodes=False,
+                    )
+                    seed += cfg.num_envs
+                    sweep[partition][task] = {
+                        k: summary[k] for k in ("episodes", "successes", "success_rate")
+                    }
+            # aggregate: per-partition mean over tasks (the protocol metric:
+            # "task success % aggregated over tasks", model-card.md:29) and
+            # the overall 4-level vector.
+            levels = {
+                part: (
+                    sum(t["success_rate"] for t in tasks.values()) / max(len(tasks), 1)
+                )
+                for part, tasks in sweep.items()
+            }
+            out = {
+                "sweep": sweep,
+                "levels": levels,
+                "mean_success_rate": sum(levels.values()) / len(levels),
+                "episodes_total": sum(
+                    t["episodes"] for tasks in sweep.values() for t in tasks.values()
+                ),
+            }
+            print(json.dumps(out))
+        else:
+            totals = _run_partition_task(
+                policy, params, tokenize, cfg, cfg.partition, cfg.task, seed_base=42
             )
-            for r in results:
-                totals["episodes"] += 1
-                totals["successes"] += int(r["success"])
-                print(json.dumps({"episode": ep, **r}))
-    totals["success_rate"] = totals["successes"] / max(totals["episodes"], 1)
-    totals["partition"] = cfg.partition
-    totals["task"] = cfg.task
-    print(json.dumps({"summary": totals}))
+            print(json.dumps({"summary": totals}))
 
 
 if __name__ == "__main__":
