@@ -102,7 +102,7 @@ def test_closed_loop_no_recompiles_across_prompts():
     from vima_tpu.bridge.tokenizer import PromptTokenizer
     from vima_tpu.nn.t5 import T5Config
     from vima_tpu.policy import VIMAPolicy, init_params
-    from vima_tpu.policy.rollout import encode_prompt, rollout_step
+    from vima_tpu.policy.rollout import encode_prompt, rollout_step_packed
 
     policy = VIMAPolicy(
         embed_dim=64, xf_n_layers=1, sattn_n_heads=4, xattn_n_heads=4,
@@ -117,14 +117,61 @@ def test_closed_loop_no_recompiles_across_prompts():
 
     envs = [FakeVimaEnv(seed=i) for i in range(2)]
     run_episode_batch(policy, params, envs, tokenize_prompt=tok, max_objs=4, capacity=64)
-    n_enc, n_step = encode_prompt._cache_size(), rollout_step._cache_size()
+    n_enc, n_step = encode_prompt._cache_size(), rollout_step_packed._cache_size()
+    assert n_step >= 1  # the loop really went through the packed step
 
     # new episode, different prompt text (different word count, same buckets)
     for env in envs:
         env.prompt = "Now please put the {dragged_obj} right into the {base_obj} quickly."
     run_episode_batch(policy, params, envs, tokenize_prompt=tok, max_objs=4, capacity=64)
     assert encode_prompt._cache_size() == n_enc
-    assert rollout_step._cache_size() == n_step
+    assert rollout_step_packed._cache_size() == n_step
+
+
+@pytest.mark.parametrize("family", ["gato", "gpt", "flamingo"])
+def test_closed_loop_families(family):
+    """The closed-loop harness drives the raw-RGB baseline families too
+    (bridge.adapters): full-frame resize feed, in-stream prompt prefill for
+    the decoder-only families. The reference can't run these closed-loop at
+    all (its loader only builds the flagship, vima/__init__.py:10)."""
+    from vima_tpu.bridge.env_loop import run_episode_batch
+    from vima_tpu.bridge.tokenizer import PromptTokenizer
+    from vima_tpu.nn.t5 import T5Config
+    from vima_tpu.policy import (
+        VIMAFlamingoPolicy,
+        VIMAGatoPolicy,
+        VIMAGPTPolicy,
+        init_params,
+    )
+
+    t5 = T5Config(d_model=48, d_ff=96, num_layers=1, num_heads=4, d_kv=12, vocab_size=64)
+    common = dict(
+        embed_dim=64, img_size=(32, 64), vit_patch_size=16, vit_width=32,
+        vit_layers=1, vit_heads=2, t5_cfg=t5, vocab_size=64,
+    )
+    if family == "gato":
+        policy = VIMAGatoPolicy(n_layer=1, n_head=4, **common)
+    elif family == "gpt":
+        policy = VIMAGPTPolicy(n_layer=1, n_head=4, **common)
+    else:
+        policy = VIMAFlamingoPolicy(
+            dt_n_layers=1, dt_n_heads=4, xattn_n_heads=4,
+            perceiver_num_blocks=1, perceiver_num_self_attends_per_block=1,
+            perceiver_num_self_attention_heads=4,
+            perceiver_num_cross_attention_heads=4, **common,
+        )
+    params = init_params(policy)
+    tok = PromptTokenizer(tokenizer_path=None, vocab_size=64)
+    tok._tok = None
+
+    envs = [FakeVimaEnv(seed=i) for i in range(2)]
+    results = run_episode_batch(
+        policy, params, envs, tokenize_prompt=tok, max_objs=4, capacity=256
+    )
+    assert len(results) == 2
+    for r in results:
+        assert r["done"]
+        assert r["steps"] >= 1
 
 
 def test_closed_loop_fake_env():

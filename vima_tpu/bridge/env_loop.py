@@ -33,18 +33,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from vima_tpu.bridge.obs_prep import (
-    prepare_obs,
-    prepare_prompt_assets,
-    stack_obs_batch,
-)
+from vima_tpu.bridge.adapters import get_adapter
+from vima_tpu.bridge.obs_prep import stack_obs_batch
 from vima_tpu.bridge.prompt_prep import prompt_gather_indices
 from vima_tpu.policy.base import (
     N_DISCRETE_ROT_BINS,
     N_DISCRETE_X_BINS,
     N_DISCRETE_Y_BINS,
 )
-from vima_tpu.policy.rollout import encode_prompt, rollout_step
+from vima_tpu.policy.rollout import unpack_actions_np
 
 # Shape buckets for the episode-start prompt encode. Word/image counts pad
 # the flat gather SOURCE (never attended, indices skip them), and the
@@ -116,7 +113,7 @@ def _pad_axis(arr: np.ndarray, axis: int, size: int) -> np.ndarray:
 
 
 def _encode_prompt_group(
-    policy,
+    adapter,
     params,
     tokenized: Sequence[tuple],
     capacity: int,
@@ -129,55 +126,40 @@ def _encode_prompt_group(
     """One bucketed, batched prompt encode for a group of envs.
 
     tokenized: per-env (word_ids int32[], token_types, image_batch, obj_masks)
-    from tokenize_prompt + prepare_prompt_assets. The flat word/image gather
+    from tokenize_prompt + adapter.prep_assets. The flat word/image gather
     sources are concatenated across the group in prompt order (the gather
     index builder consumes them with running pointers) and padded to the
-    bucket sizes; per-asset object slots are padded to the group-wide
-    ``n_objs`` (reference max-across-assets semantics).
+    bucket sizes; for the flagship, per-asset object slots are padded to the
+    group-wide ``n_objs`` (reference max-across-assets semantics); the RGB
+    families have a fixed per-image token count instead.
     """
-    views = sorted(tokenized[0][2]["mask"].keys())
     word_flat = np.concatenate([t[0] for t in tokenized]) if tokenized else np.zeros(0, np.int32)
     n_words_real = len(word_flat)
     word_flat = _pad_axis(word_flat.astype(np.int32), 0, n_words_pad)
 
     types_all = [t[1] for t in tokenized]
-    obj_masks_cat: Dict[str, np.ndarray] | None
-    if n_objs > 0:
-        image_cat = {"cropped_img": {}, "bbox": {}, "mask": {}}
-        for v in views:
-            for key in image_cat:
-                parts = [_pad_axis(np.asarray(t[2][key][v]), 1, n_objs) for t in tokenized]
-                cat = np.concatenate(parts, axis=0) if parts else None
-                image_cat[key][v] = _pad_axis(cat, 0, n_imgs_pad)
-        obj_masks_cat = {v: image_cat["mask"][v] for v in views}
-    else:
-        # no placeholders anywhere in the group: empty image source
-        image_cat = {
-            key: {v: np.asarray(tokenized[0][2][key][v]) for v in views}
-            for key in ("cropped_img", "bbox", "mask")
-        }
-        obj_masks_cat = None
-        n_imgs_pad = 0
+    image_cat, obj_masks_cat, n_imgs_eff = adapter.cat_images(tokenized, n_objs, n_imgs_pad)
+    tokens_per_img = (
+        n_objs * len(adapter.views) if adapter.kind == "objects" else n_objs
+    )
 
     idx, mask = prompt_gather_indices(
         types_all,
         n_words_pad,
         obj_masks_cat,
-        n_objs * len(views),
+        tokens_per_img,
         pad_to=lp_pad,
-        n_imgs=n_imgs_pad,
+        n_imgs=n_imgs_eff,
     )
     assert n_words_real <= n_words_pad
     gather = {"idx": jnp.asarray(idx), "mask": jnp.asarray(mask)}
-    _, state = encode_prompt(
-        policy,
+    return adapter.encode(
         params,
         jnp.asarray(word_flat),
         jax.tree_util.tree_map(jnp.asarray, image_cat),
         gather,
         capacity,
     )
-    return state
 
 
 def _actions_to_env(actions_np: Dict[str, np.ndarray], lo: np.ndarray, hi: np.ndarray):
@@ -211,6 +193,8 @@ def run_episode_batch(
 ) -> List[Dict]:
     """Run one episode on each env, batched through one jitted policy.
 
+    Works for all four policy families (the flagship's cropped-object feed
+    and the baselines' raw-RGB feed) via ``bridge.adapters.get_adapter``.
     All envs share prompt/object capacity buckets (padded), so repeat calls
     with different prompts hit the compile cache. With ``pipeline`` and
     >=2 envs, the batch is split into two streams whose policy steps and
@@ -224,11 +208,13 @@ def run_episode_batch(
     """
     B = len(envs)
     t_start = time.perf_counter()
+    adapter = get_adapter(policy)
 
     # KV-cache capacity contract (see policy/rollout.py::rollout_step):
-    # fail before the expensive prompt encode, not after.
+    # fail before the expensive prompt encode, not after. (Decoder-only
+    # prefill slots are re-checked below once the prompt length is known.)
     _limit = max_steps or max(env.task.oracle_max_steps + 2 for env in envs)
-    _chunk = 1 + 2 * max_objs  # action slot + objects over both views
+    _chunk = 1 + adapter.chunk_obs_tokens(max_objs)
     if _limit * _chunk > capacity:
         raise ValueError(
             f"episode limit {_limit} x {_chunk}-token chunks exceeds KV "
@@ -240,32 +226,42 @@ def run_episode_batch(
     tokenized = []
     for env in envs:
         ids, types, names = tokenize_prompt(env.prompt)
-        image_batch, obj_masks = prepare_prompt_assets(env.prompt_assets, names)
+        image_batch, obj_masks = adapter.prep_assets(env.prompt_assets, names)
         tokenized.append((np.asarray(ids, np.int32), types, image_batch, obj_masks))
 
     # --- split into streams, then one bucketed encode per stream
-    views = sorted(tokenized[0][2]["mask"].keys())
+    views = adapter.views
     n_streams = 2 if (pipeline and B >= 2) else 1
     half = (B + n_streams - 1) // n_streams
     groups = [list(range(i, min(i + half, B))) for i in range(0, B, half)]
 
-    n_objs = max(t[2]["mask"][views[0]].shape[1] for t in tokenized)
+    n_objs = adapter.group_img_tokens(tokenized)
+    tokens_per_img = n_objs * len(views) if adapter.kind == "objects" else n_objs
     n_words_pad = _ceil_to(
         max(sum(len(tokenized[b][0]) for b in g) for g in groups) or 1, PROMPT_WORD_BUCKET
     )
     n_imgs_pad = _ceil_to(
-        max(sum(tokenized[b][2]["mask"][views[0]].shape[0] for b in g) for g in groups),
+        max(sum(adapter.n_imgs(tokenized[b][2]) for b in g) for g in groups),
         PROMPT_IMG_BUCKET,
     )
     lp_req = max(
-        sum(1 if t == 0 else n_objs * len(views) for t in types) for _, types, _, _ in tokenized
+        sum(1 if t == 0 else tokens_per_img for t in types) for _, types, _, _ in tokenized
     )
     lp_pad = _ceil_to(max(lp_req, 1), PROMPT_LEN_BUCKET)
+
+    # decoder-only families prefill [prompt | sep] into the same causal cache
+    prefill = adapter.prefill_slots(lp_pad)
+    if prefill + _limit * _chunk > capacity:
+        raise ValueError(
+            f"prompt prefill ({prefill} slots) + episode limit {_limit} x "
+            f"{_chunk}-token chunks exceeds KV capacity {capacity}; raise "
+            "capacity= or lower max_steps/max_objs"
+        )
 
     streams = []
     for g in groups:
         state = _encode_prompt_group(
-            policy,
+            adapter,
             params,
             [tokenized[b] for b in g],
             capacity,
@@ -286,12 +282,11 @@ def run_episode_batch(
     )
 
     def _prep(b, obs):
-        if detector is not None:
-            # detector-in-the-loop (BASELINE config 3): replace simulator
-            # segmentation; object ids come from the detections.
-            obs["segm"] = detector.detect(obs["rgb"], obs)
-            return prepare_obs(obs, None, max_objs=max_objs)
-        return prepare_obs(obs, envs[b].meta_info, max_objs=max_objs)
+        # detector-in-the-loop (BASELINE config 3, flagship only): replace
+        # simulator segmentation; object ids come from the detections.
+        return adapter.prep_obs(
+            obs, envs[b].meta_info, max_objs=max_objs, detector=detector
+        )
 
     prepared = [_prep(b, obs_list[b]) for b in range(B)]
 
@@ -299,12 +294,8 @@ def run_episode_batch(
         """Async policy step for one stream (jax dispatch returns before the
         device finishes; the other stream's host work overlaps)."""
         batch = stack_obs_batch([prepared[b] for b in s["ids"]])
-        actions, s["state"] = rollout_step(
-            policy,
-            params,
-            s["state"],
-            jax.tree_util.tree_map(jnp.asarray, batch["objects"]),
-            jnp.asarray(batch["ee"]),
+        actions, s["state"] = adapter.step(
+            params, s["state"], jax.tree_util.tree_map(jnp.asarray, batch)
         )
         s["inflight"] = actions
 
@@ -323,10 +314,10 @@ def run_episode_batch(
         return b, obs, d, info, prep
 
     def _complete(s):
-        """Fetch the stream's actions (blocks on its device step), then do
-        the host tail: env stepping + obs prep for its active envs."""
+        """Fetch the stream's packed actions (ONE D2H transfer — blocks on
+        its device step), then the host tail: env stepping + obs prep."""
         t0 = time.perf_counter()
-        actions_np = {k: np.asarray(v) for k, v in s["inflight"].items()}
+        actions_np = unpack_actions_np(s["inflight"])
         dt = time.perf_counter() - t0
         s["inflight"] = None
 

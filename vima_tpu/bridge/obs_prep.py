@@ -25,28 +25,72 @@ try:
 except Exception:  # pragma: no cover
     _HAS_CV2 = False
 
-from vima_tpu.native.crop_resize import resize_inter_area
+from vima_tpu.native.crop_resize import (
+    crop_pad_resize_batch,
+    native_available,
+    resize_inter_area,
+)
 
 
 def crop_pad_resize(rgb: np.ndarray, ymin, ymax, xmin, xmax, out_res: int = 32) -> np.ndarray:
     """Crop (3,H,W) rgb to bbox, zero-pad to square (reference
-    example.py:417-428), INTER_AREA-resize to (3, out_res, out_res)."""
-    cropped = rgb[:, ymin : ymax + 1, xmin : xmax + 1]
-    h, w = cropped.shape[1], cropped.shape[2]
-    if h != w:
-        diff = abs(h - w)
-        pad_before, pad_after = diff // 2, diff - diff // 2
-        if h > w:
-            pad_width = ((0, 0), (0, 0), (pad_before, pad_after))
-        else:
-            pad_width = ((0, 0), (pad_before, pad_after), (0, 0))
-        cropped = np.pad(cropped, pad_width, mode="constant", constant_values=0)
-    hwc = np.transpose(cropped, (1, 2, 0))
+    example.py:417-428: pad_before = diff//2), INTER_AREA-resize to
+    (3, out_res, out_res). Byte-identical to the reference's cv2 math; the
+    square pad is a preallocated HWC buffer + slice write (np.pad costs
+    ~0.13 ms of pure Python per object — this path runs per object per view
+    per env step)."""
+    h = ymax + 1 - ymin
+    w = xmax + 1 - xmin
+    side = max(h, w)
+    sq = np.zeros((side, side, 3), dtype=rgb.dtype)
+    py = (side - h) // 2
+    px = (side - w) // 2
+    sq[py : py + h, px : px + w] = np.transpose(
+        rgb[:, ymin : ymax + 1, xmin : xmax + 1], (1, 2, 0)
+    )
     if _HAS_CV2:
-        resized = cv2.resize(np.ascontiguousarray(hwc), (out_res, out_res), interpolation=cv2.INTER_AREA)
+        resized = cv2.resize(sq, (out_res, out_res), interpolation=cv2.INTER_AREA)
     else:
-        resized = resize_inter_area(hwc, out_res, out_res)
+        resized = resize_inter_area(sq, out_res, out_res)
     return np.transpose(resized, (2, 0, 1))
+
+
+def resize_frame_chw(rgb: np.ndarray, hw: Tuple[int, int]) -> np.ndarray:
+    """Resize a full (3, H, W) frame to ``hw`` with INTER_AREA — the raw-RGB
+    baseline families consume whole frames at the policy's ``img_size``
+    (reference vima_gato_policy.py:36-45 / GatoViTEncoder img_size) rather
+    than object crops; same resampling as the crop path."""
+    if rgb.shape[1:] == tuple(hw):
+        return np.ascontiguousarray(rgb)
+    hwc = np.ascontiguousarray(np.transpose(rgb, (1, 2, 0)))
+    if _HAS_CV2:
+        resized = cv2.resize(hwc, (hw[1], hw[0]), interpolation=cv2.INTER_AREA)
+    else:
+        resized = resize_inter_area(hwc, hw[0], hw[1])
+    return np.transpose(resized, (2, 0, 1))
+
+
+def segm_bboxes(segm: np.ndarray) -> Dict[int, Tuple[int, int, int, int, int]]:
+    """One pass over the segmentation: per-id (ymin, ymax, xmin, xmax,
+    n_pixels). Replaces a per-object ``np.nonzero(segm == id)`` scan (the
+    reference's loop, example.py:400-407) — identical extrema, O(pixels)
+    once instead of once per object."""
+    ys, xs = np.nonzero(segm)
+    if len(ys) == 0:
+        return {}
+    ids = segm[ys, xs]
+    order = np.argsort(ids, kind="stable")
+    ids_s, ys_s, xs_s = ids[order], ys[order], xs[order]
+    uniq, starts = np.unique(ids_s, return_index=True)
+    ymin = np.minimum.reduceat(ys_s, starts)
+    ymax = np.maximum.reduceat(ys_s, starts)
+    xmin = np.minimum.reduceat(xs_s, starts)
+    xmax = np.maximum.reduceat(xs_s, starts)
+    counts = np.diff(np.append(starts, len(ids_s)))
+    return {
+        int(u): (int(ymin[i]), int(ymax[i]), int(xmin[i]), int(xmax[i]), int(counts[i]))
+        for i, u in enumerate(uniq)
+    }
 
 
 def extract_objects(
@@ -60,26 +104,39 @@ def extract_objects(
     """One view, one frame: (cropped_imgs (max_objs,3,R,R) uint8,
     bboxes (max_objs,4) int32 [xc,yc,h,w], mask (max_objs,) bool).
 
-    Objects whose segmentation covers <2 pixels in either axis are skipped
-    (reference example.py:408-411)."""
+    Objects whose segmentation covers <2 pixels are skipped (reference
+    example.py:408-411). The crop path prefers cv2 (byte-identical to the
+    reference); without cv2 the native C++ batch kernel handles all of a
+    view's objects in one call (OpenCV-semantics INTER_AREA, within +-1)."""
     crops = np.zeros((max_objs, 3, out_res, out_res), dtype=np.uint8)
     bboxes = np.zeros((max_objs, 4), dtype=np.int32)
     mask = np.zeros((max_objs,), dtype=bool)
+    by_id = segm_bboxes(segm)
+    boxes_yx = []
     slot = 0
     for obj_id in obj_ids:
         if slot >= max_objs:
             break
-        ys, xs = np.nonzero(segm == obj_id)
-        if len(xs) < 2 or len(ys) < 2:
+        entry = by_id.get(int(obj_id))
+        if entry is None:
             continue
-        xmin, xmax = int(np.min(xs)), int(np.max(xs))
-        ymin, ymax = int(np.min(ys)), int(np.max(ys))
+        ymin, ymax, xmin, xmax, n_px = entry
+        if n_px < 2:
+            continue
         x_center, y_center = (xmin + xmax) / 2, (ymin + ymax) / 2
         h, w = ymax - ymin, xmax - xmin
         bboxes[slot] = [int(x_center), int(y_center), int(h), int(w)]
-        crops[slot] = crop_pad_resize(rgb, ymin, ymax, xmin, xmax, out_res)
+        boxes_yx.append((ymin, ymax, xmin, xmax))
         mask[slot] = True
         slot += 1
+    if boxes_yx:
+        if not _HAS_CV2 and native_available():
+            crops[: len(boxes_yx)] = crop_pad_resize_batch(
+                rgb, np.asarray(boxes_yx, np.int32), out_res
+            )
+        else:
+            for i, (ymin, ymax, xmin, xmax) in enumerate(boxes_yx):
+                crops[i] = crop_pad_resize(rgb, ymin, ymax, xmin, xmax, out_res)
     return crops, bboxes, mask
 
 

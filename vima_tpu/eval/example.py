@@ -56,18 +56,48 @@ def _build_policy(cfg):
         from vima_tpu import create_policy_from_ckpt
 
         return create_policy_from_ckpt(cfg.ckpt, cfg.device)
-    # random-init tiny policy (smoke / fake-env runs)
+    # random-init tiny policy (smoke / fake-env runs); any of the 4 families
     from vima_tpu.nn.t5 import T5Config
-    from vima_tpu.policy import VIMAPolicy, init_params
-
-    policy = VIMAPolicy(
-        embed_dim=256, xf_n_layers=2, sattn_n_heads=4, xattn_n_heads=4,
-        vit_width=64, vit_layers=1, vit_heads=4, vit_output_dim=64,
-        bbox_mlp_hidden_dim=64,
-        t5_cfg=T5Config(d_model=128, d_ff=256, num_layers=2, num_heads=4, d_kv=32),
+    from vima_tpu.policy import (
+        VIMAFlamingoPolicy,
+        VIMAGatoPolicy,
+        VIMAGPTPolicy,
+        VIMAPolicy,
+        init_params,
     )
+
+    t5 = T5Config(d_model=128, d_ff=256, num_layers=2, num_heads=4, d_kv=32)
+    family = getattr(cfg, "family", "vima")
+    if family == "vima":
+        policy = VIMAPolicy(
+            embed_dim=256, xf_n_layers=2, sattn_n_heads=4, xattn_n_heads=4,
+            vit_width=64, vit_layers=1, vit_heads=4, vit_output_dim=64,
+            bbox_mlp_hidden_dim=64, t5_cfg=t5,
+        )
+    else:
+        # raw-RGB families: small frames so decoder-only token budgets fit
+        common = dict(
+            embed_dim=256, img_size=(32, 64), vit_patch_size=16, vit_width=64,
+            vit_layers=1, vit_heads=4, t5_cfg=t5, vocab_size=t5.vocab_size,
+        )
+        if family == "gato":
+            policy = VIMAGatoPolicy(n_layer=2, n_head=4, **common)
+        elif family == "gpt":
+            policy = VIMAGPTPolicy(n_layer=2, n_head=4, **common)
+        elif family == "flamingo":
+            policy = VIMAFlamingoPolicy(
+                dt_n_layers=2, dt_n_heads=4, xattn_n_heads=4,
+                perceiver_num_blocks=1, perceiver_num_self_attends_per_block=1,
+                perceiver_num_self_attention_heads=4,
+                perceiver_num_cross_attention_heads=4, **common,
+            )
+        else:
+            raise ValueError(f"unknown family {family!r}")
     params = init_params(policy)
-    print("note: no --ckpt given; running a random-init policy", file=sys.stderr)
+    print(
+        f"note: no --ckpt given; running a random-init {family} policy",
+        file=sys.stderr,
+    )
     return policy, params
 
 
@@ -133,6 +163,13 @@ def main(argv=None):
     p.add_argument("--episodes", type=int, default=1)
     p.add_argument("--max-objs", type=int, default=10)
     p.add_argument("--fake-env", action="store_true")
+    p.add_argument(
+        "--family",
+        choices=["vima", "gato", "gpt", "flamingo"],
+        default="vima",
+        help="policy family for random-init runs (with --ckpt the family is "
+        "auto-detected from the state dict)",
+    )
     p.add_argument("--tokenizer", type=str, default=None, help="local tokenizer.json")
     p.add_argument(
         "--all-partitions",

@@ -54,6 +54,31 @@ def zero_actions(batch: int) -> Dict[str, jnp.ndarray]:
     }
 
 
+# Fixed key order for single-array action transport. The closed loop fetches
+# actions from the device every step; one packed (B, 12) fetch instead of 8
+# per-key fetches matters on high-latency links (the tunneled-TPU RTT is
+# ~30 ms — see CLAUDE.md) and is one D2H instead of 8 everywhere else.
+ACTION_PACK_ORDER = ("pose0_position", "pose0_rotation", "pose1_position", "pose1_rotation")
+
+
+def pack_actions(actions: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+    """dict of (B, d_k) int32 -> one (B, 12) int32 in ACTION_PACK_ORDER."""
+    return jnp.concatenate([actions[k] for k in ACTION_PACK_ORDER], axis=-1)
+
+
+def unpack_actions_np(packed) -> Dict[str, "np.ndarray"]:
+    """Host-side inverse of :func:`pack_actions` (numpy, zero-copy slices)."""
+    import numpy as np
+
+    packed = np.asarray(packed)
+    out, i = {}, 0
+    for k in ACTION_PACK_ORDER:
+        d = len(ACTION_DIMS[k])
+        out[k] = packed[..., i : i + d]
+        i += d
+    return out
+
+
 @functools.partial(jax.jit, static_argnums=(0, 5, 6))
 def encode_prompt(
     policy,
@@ -197,6 +222,15 @@ def rollout_step(policy, params, state: RolloutState, objects: Dict, ee: jnp.nda
     corrupting subsequent actions. ``bridge.env_loop`` checks this at
     setup; ``replay_rollout`` checks it at trace time."""
     return _rollout_step_core(policy, params, state, objects, ee)
+
+
+@functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
+def rollout_step_packed(policy, params, state: RolloutState, objects: Dict, ee: jnp.ndarray):
+    """:func:`rollout_step` with actions packed into one (B, 12) int32 array
+    (one device->host fetch per step instead of 8; unpack with
+    :func:`unpack_actions_np`)."""
+    actions, state = _rollout_step_core(policy, params, state, objects, ee)
+    return pack_actions(actions), state
 
 
 @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))

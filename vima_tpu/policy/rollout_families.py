@@ -29,6 +29,7 @@ from vima_tpu.policy.rollout import (
     assemble_prompt,
     decode_chunk_actions,
     make_chunk,
+    pack_actions,
     zero_actions,
 )
 
@@ -71,9 +72,7 @@ def encode_prompt_flamingo(policy, params, word_batch, image_batch, gather, capa
     return prompt_tokens, state
 
 
-@functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
-def rollout_step_flamingo(policy, params, state: RolloutState, rgb: Dict, ee):
-    """rgb: per-view (B, 3, H, W); ee: (B,)."""
+def _rollout_step_flamingo_core(policy, params, state: RolloutState, rgb: Dict, ee):
     apply = lambda method, *a, **kw: policy.apply(params, *a, method=method, **kw)
     obs_tok = apply("forward_obs_token", rgb, ee)  # (B, Q, E), all valid
     act_emb = apply("forward_action_token", state.last_action)
@@ -103,6 +102,20 @@ def rollout_step_flamingo(policy, params, state: RolloutState, rgb: Dict, ee):
     return actions, advance_state(
         state, actions, new_k, new_v, slot_mask, chunk_mask, chunk.shape[1]
     )
+
+
+@functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
+def rollout_step_flamingo(policy, params, state: RolloutState, rgb: Dict, ee):
+    """rgb: per-view (B, 3, H, W); ee: (B,)."""
+    return _rollout_step_flamingo_core(policy, params, state, rgb, ee)
+
+
+@functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
+def rollout_step_flamingo_packed(policy, params, state: RolloutState, rgb: Dict, ee):
+    """:func:`rollout_step_flamingo` with one packed (B, 12) action array
+    (single D2H fetch; see rollout.pack_actions)."""
+    actions, state = _rollout_step_flamingo_core(policy, params, state, rgb, ee)
+    return pack_actions(actions), state
 
 
 # -------------------------------------------------------------- decoder-only
@@ -179,9 +192,7 @@ def encode_prompt_decoder_only(policy, params, word_batch, image_batch, gather, 
     return prompt_tokens, state
 
 
-@functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
-def rollout_step_decoder_only(policy, params, state: DecoderRolloutState, rgb: Dict, ee):
-    """One env step for Gato (Q=img_patch_len tokens/frame) or GPT (Q=1)."""
+def _rollout_step_decoder_only_core(policy, params, state: DecoderRolloutState, rgb: Dict, ee):
     apply = lambda method, *a, **kw: policy.apply(params, *a, method=method, **kw)
     obs_tok = apply("forward_obs_token", rgb, ee)
     if obs_tok.ndim == 2:  # GPT: one token per frame
@@ -209,3 +220,18 @@ def rollout_step_decoder_only(policy, params, state: DecoderRolloutState, rgb: D
     return actions, advance_state(
         state, actions, new_k, new_v, slot_mask, chunk_mask, chunk.shape[1]
     )
+
+@functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
+def rollout_step_decoder_only(policy, params, state: DecoderRolloutState, rgb: Dict, ee):
+    """One env step for Gato (Q=img_patch_len tokens/frame) or GPT (Q=1)."""
+    return _rollout_step_decoder_only_core(policy, params, state, rgb, ee)
+
+
+@functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
+def rollout_step_decoder_only_packed(
+    policy, params, state: DecoderRolloutState, rgb: Dict, ee
+):
+    """:func:`rollout_step_decoder_only` with one packed (B, 12) action array
+    (single D2H fetch; see rollout.pack_actions)."""
+    actions, state = _rollout_step_decoder_only_core(policy, params, state, rgb, ee)
+    return pack_actions(actions), state
