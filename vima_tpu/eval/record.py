@@ -17,8 +17,17 @@ from vima_tpu.bridge.obs_prep import prepare_obs, prepare_prompt_assets
 from vima_tpu.train.data import save_episode
 
 
-def record_episode(env, tokenize_prompt, *, max_objs: int, action_sampler=None, seed=0):
-    """Run one episode with oracle/random actions; return the npz-ready dict."""
+def record_episode(
+    env, tokenize_prompt, *, max_objs: int, action_sampler=None, seed=0,
+    record_rgb: bool = False,
+):
+    """Run one episode with oracle/random actions; return the npz-ready dict.
+
+    ``record_rgb`` additionally stores the raw per-view frames
+    (``rgb/<view>`` (T, 3, H, W)) and raw prompt-asset frames
+    (``prompt_assets_rgb/<view>`` (A, 3, H, W)) so the same data directory
+    can train the raw-RGB baseline families (the dataset resizes to each
+    policy's img_size at load)."""
     rng = np.random.default_rng(seed)
     if action_sampler is None:
         def action_sampler(_obs):
@@ -33,11 +42,13 @@ def record_episode(env, tokenize_prompt, *, max_objs: int, action_sampler=None, 
     word_ids, token_types, names = tokenize_prompt(env.prompt)
     assets, _ = prepare_prompt_assets(env.prompt_assets, names)
 
-    frames, ees, actions = [], [], []
+    frames, ees, actions, rgb_frames = [], [], [], []
     done = False
     while not done:
         prepared = prepare_obs(obs, env.meta_info, max_objs=max_objs)
         frames.append({k: {v: a[0] for v, a in d.items()} for k, d in prepared["objects"].items()})
+        if record_rgb:
+            rgb_frames.append({v: np.asarray(obs["rgb"][v]) for v in obs["rgb"]})
         ees.append(int(prepared["ee"][0]))
         act = action_sampler(obs)
         actions.append(act)
@@ -67,6 +78,16 @@ def record_episode(env, tokenize_prompt, *, max_objs: int, action_sampler=None, 
         "prompt_token_types": np.asarray(token_types, dtype=np.int32),
         "prompt_assets": assets,
     }
+    if record_rgb:
+        episode["rgb"] = {
+            v: np.stack([f[v] for f in rgb_frames]) for v in rgb_frames[0]
+        }
+        episode["prompt_assets_rgb"] = {
+            v: np.stack(
+                [np.asarray(env.prompt_assets[n]["rgb"][v]) for n in names]
+            )
+            for v in rgb_frames[0]
+        }
     return episode
 
 
@@ -79,6 +100,12 @@ def main(argv=None):
     p.add_argument("--partition", type=str, default="placement_generalization")
     p.add_argument("--task", type=str, default="visual_manipulation")
     p.add_argument("--tokenizer", type=str, default=None)
+    p.add_argument(
+        "--record-rgb",
+        action="store_true",
+        help="also store raw per-view frames (needed to train the raw-RGB "
+        "baseline families from this data)",
+    )
     cfg = p.parse_args(argv)
 
     from vima_tpu.bridge.tokenizer import PromptTokenizer
@@ -103,7 +130,9 @@ def main(argv=None):
                 display_debug_window=False,
                 hide_arm_rgb=False,
             )
-        episode = record_episode(env, tokenize, max_objs=cfg.max_objs, seed=i)
+        episode = record_episode(
+            env, tokenize, max_objs=cfg.max_objs, seed=i, record_rgb=cfg.record_rgb
+        )
         save_episode(out / f"episode_{i:05d}.npz", episode)
         print(f"recorded {out}/episode_{i:05d}.npz "
               f"({episode['ee'].shape[0]} steps)", file=sys.stderr)

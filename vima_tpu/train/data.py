@@ -13,6 +13,14 @@ Episode npz schema (one file per episode):
   prompt_word_ids          (Lw,) int32
   prompt_token_types       (Lt,) int32  (0 word / 1 image)
   prompt_assets/<field>/<view> (A, n_objs, ...)
+optional (written by ``record --record-rgb``; required for obs_mode="rgb"):
+  rgb/<view>               (T, 3, H, W) uint8 raw frames
+  prompt_assets_rgb/<view> (A, 3, H, W) uint8 raw asset frames
+
+``obs_mode="rgb"`` serves the raw-RGB baseline families (gato/gpt/
+flamingo): frames and asset images are resized to the policy's ``img_hw``
+at load and the prompt gather uses the family's fixed per-image token
+count (``tokens_per_img``) instead of per-object masks.
 """
 
 from __future__ import annotations
@@ -26,6 +34,23 @@ from vima_tpu.bridge.prompt_prep import prompt_gather_indices
 
 VIEWS = ("front", "top")
 ACTION_KEYS = ("pose0_position", "pose0_rotation", "pose1_position", "pose1_rotation")
+
+
+def dataset_kwargs_for_policy(policy) -> Dict:
+    """obs_mode / img_hw / tokens_per_img for a policy instance: the
+    flagship consumes object crops; the baselines consume raw frames at
+    their ``img_size`` with a family-fixed per-image prompt token count."""
+    from vima_tpu.policy import VIMAPolicy
+
+    if isinstance(policy, VIMAPolicy):
+        return {"obs_mode": "objects"}
+    if hasattr(policy, "num_queries"):  # flamingo: perceiver queries
+        tokens = policy.num_queries
+    elif hasattr(policy, "obj_xf_num_queries"):  # gato: patch tokens x views
+        tokens = policy.obj_xf_num_queries
+    else:  # gpt: one cls token per image
+        tokens = 1
+    return {"obs_mode": "rgb", "img_hw": tuple(policy.img_size), "tokens_per_img": tokens}
 
 
 def save_episode(path, episode: Dict) -> None:
@@ -65,6 +90,9 @@ class TrajectoryDataset:
         max_objs: int,
         prompt_len: int,
         seed: int = 0,
+        obs_mode: str = "objects",
+        img_hw: tuple | None = None,
+        tokens_per_img: int | None = None,
     ):
         self.paths: List[pathlib.Path] = sorted(pathlib.Path(root).glob("*.npz"))
         if not self.paths:
@@ -72,6 +100,13 @@ class TrajectoryDataset:
         self.max_steps = max_steps
         self.max_objs = max_objs
         self.prompt_len = prompt_len
+        if obs_mode not in ("objects", "rgb"):
+            raise ValueError(f"obs_mode must be 'objects' or 'rgb', got {obs_mode!r}")
+        if obs_mode == "rgb" and (img_hw is None or tokens_per_img is None):
+            raise ValueError("obs_mode='rgb' needs img_hw and tokens_per_img")
+        self.obs_mode = obs_mode
+        self.img_hw = tuple(img_hw) if img_hw else None
+        self.tokens_per_img = tokens_per_img
         self._rng = np.random.default_rng(seed)
 
     def __len__(self):
@@ -95,15 +130,8 @@ class TrajectoryDataset:
     def _episode_to_sample(self, ep: Dict) -> Dict:
         T = self.max_steps
         n = self.max_objs
-        objects = {}
-        for field in ("cropped_img", "bbox", "mask"):
-            objects[field] = {
-                v: self._pad_steps(self._pad_objs(ep["objects"][field][v], n), T)
-                for v in VIEWS
-            }
         t_real = ep["ee"].shape[0]
         sample = {
-            "objects": objects,
             "ee": self._pad_steps(ep["ee"].astype(np.int32), T),
             "actions": {
                 k: self._pad_steps(ep["actions"][k].astype(np.int32), T)
@@ -111,20 +139,53 @@ class TrajectoryDataset:
             },
             "action_mask": self._pad_steps(np.ones(t_real, bool), T),
         }
-        # prompt: per-sample gather indices at a fixed prompt_len bucket
         types = ep["prompt_token_types"].tolist()
         n_words = int(sum(1 for t in types if t == 0))
-        asset_masks = {v: ep["prompt_assets"]["mask"][v] for v in VIEWS}
-        qp = asset_masks[VIEWS[0]].shape[1] * len(VIEWS)
-        idx, mask = prompt_gather_indices(
-            [types], n_words, asset_masks, qp, pad_to=self.prompt_len
-        )
-        assets = {
-            field: {v: ep["prompt_assets"][field][v] for v in VIEWS}
-            for field in ("cropped_img", "bbox", "mask")
-        }
         sample["prompt_word_ids"] = ep["prompt_word_ids"].astype(np.int32)
-        sample["prompt_assets"] = assets
+
+        if self.obs_mode == "rgb":
+            from vima_tpu.bridge.obs_prep import resize_frame_chw
+
+            if "rgb" not in ep:
+                raise KeyError(
+                    "episode has no raw frames; re-record with --record-rgb "
+                    "to train raw-RGB families"
+                )
+            sample["rgb"] = {
+                v: self._pad_steps(
+                    np.stack([resize_frame_chw(f, self.img_hw) for f in ep["rgb"][v]]), T
+                )
+                for v in VIEWS
+            }
+            sample["prompt_assets"] = {
+                "rgb": {
+                    v: np.stack(
+                        [resize_frame_chw(f, self.img_hw) for f in ep["prompt_assets_rgb"][v]]
+                    )
+                    for v in VIEWS
+                }
+            }
+            idx, mask = prompt_gather_indices(
+                [types], n_words, None, self.tokens_per_img, pad_to=self.prompt_len
+            )
+        else:
+            objects = {}
+            for field in ("cropped_img", "bbox", "mask"):
+                objects[field] = {
+                    v: self._pad_steps(self._pad_objs(ep["objects"][field][v], n), T)
+                    for v in VIEWS
+                }
+            sample["objects"] = objects
+            # prompt: per-sample gather indices at a fixed prompt_len bucket
+            asset_masks = {v: ep["prompt_assets"]["mask"][v] for v in VIEWS}
+            qp = asset_masks[VIEWS[0]].shape[1] * len(VIEWS)
+            idx, mask = prompt_gather_indices(
+                [types], n_words, asset_masks, qp, pad_to=self.prompt_len
+            )
+            sample["prompt_assets"] = {
+                field: {v: ep["prompt_assets"][field][v] for v in VIEWS}
+                for field in ("cropped_img", "bbox", "mask")
+            }
         sample["prompt_gather_idx"] = idx[0]
         sample["prompt_mask"] = mask[0]
         return sample

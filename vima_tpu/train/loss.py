@@ -1,10 +1,15 @@
-"""Behavior-cloning loss for the flagship policy.
+"""Behavior-cloning loss for all four policy families.
 
 The reference ships inference only — its 650K-trajectory BC training ran in
 an unreleased external harness (survey §1, model-card.md:27). This module
 supplies the TPU-native training path: teacher-forced decoder over expert
 episodes, cross-entropy on every discretized action component, masked over
 episode padding.
+
+Family dispatch: the flagship consumes cropped-object tokens + an object
+mask (``batch["objects"]``, 5-arg parity ``__call__``); the baselines
+consume raw-RGB frames (``batch["rgb"]``, 4-arg ``__call__``, all obs
+tokens valid — reference vima_gato_policy.py:120-191 et al.).
 """
 
 from __future__ import annotations
@@ -63,21 +68,37 @@ def bc_loss(
         "encode_prompt_assembled", prompt_tokens, batch["prompt_mask"], deterministic=det
     )  # (B, Lp, E)
 
-    obs_tok, obs_mask = apply("forward_obs_token", batch["objects"], batch["ee"])
+    flagship = "objects" in batch
+    if flagship:
+        obs_tok, obs_mask = apply("forward_obs_token", batch["objects"], batch["ee"])
+    else:
+        # raw-RGB families: (B, T, Q, E) (gato/flamingo) or (B, T, E) (gpt)
+        obs_tok = apply("forward_obs_token", batch["rgb"], batch["ee"])
+        obs_mask = None
     # Teacher forcing: actions 0..T-2 feed the stream (action t sits after
     # obs-group t); predictions at obs-group ends supervise action t.
     T = obs_tok.shape[1]
     shifted = {k: v[:, : T - 1] for k, v in batch["actions"].items()}
     act_emb = apply("forward_action_token", shifted)  # (B, T-1, E)
 
-    pred = apply(
-        "__call__",
-        obs_tok.transpose(1, 0, 2, 3),
-        obs_mask.transpose(1, 0, 2),
-        act_emb.transpose(1, 0, 2),
-        prompt.transpose(1, 0, 2),
-        batch["prompt_mask"],
-    ).transpose(1, 0, 2)  # (B, T, E)
+    obs_sf = jnp.moveaxis(obs_tok, 1, 0)  # stream-first (T, B, [Q,] E)
+    if flagship:
+        pred = apply(
+            "__call__",
+            obs_sf,
+            obs_mask.transpose(1, 0, 2),
+            act_emb.transpose(1, 0, 2),
+            prompt.transpose(1, 0, 2),
+            batch["prompt_mask"],
+        ).transpose(1, 0, 2)  # (B, T, E)
+    else:
+        pred = apply(
+            "__call__",
+            obs_sf,
+            act_emb.transpose(1, 0, 2),
+            prompt.transpose(1, 0, 2),
+            batch["prompt_mask"],
+        ).transpose(1, 0, 2)  # (B, T, E)
 
     logits = apply("forward_action_decoder", pred)  # dict key -> (B, T, sum(dims))
 

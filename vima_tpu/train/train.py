@@ -51,7 +51,7 @@ def main(argv=None):
     from vima_tpu.ckpt.registry import get_config
     from vima_tpu.parallel import make_mesh
     from vima_tpu.policy import init_params
-    from vima_tpu.train.data import TrajectoryDataset
+    from vima_tpu.train.data import TrajectoryDataset, dataset_kwargs_for_policy
     from vima_tpu.train.trainer import Trainer
     from vima_tpu.utils import LatencyTracker, MetricsLogger
 
@@ -82,23 +82,19 @@ def main(argv=None):
     else:
         trainer.init(params)
 
-    ds = TrajectoryDataset(
-        cfg.data,
+    ds_kwargs = dict(
         max_steps=cfg.max_steps_per_episode,
         max_objs=cfg.max_objs,
         prompt_len=cfg.prompt_len,
+        **dataset_kwargs_for_policy(policy),
     )
+    ds = TrajectoryDataset(cfg.data, **ds_kwargs)
     logger = MetricsLogger(cfg.metrics)
     tracker = LatencyTracker()
 
     eval_ds = None
     if cfg.eval_data:
-        eval_ds = TrajectoryDataset(
-            cfg.eval_data,
-            max_steps=cfg.max_steps_per_episode,
-            max_objs=cfg.max_objs,
-            prompt_len=cfg.prompt_len,
-        )
+        eval_ds = TrajectoryDataset(cfg.eval_data, **ds_kwargs)
         if len(eval_ds) < cfg.batch_size:
             p.error(
                 f"--eval-data has {len(eval_ds)} episodes but --batch-size is "
