@@ -471,8 +471,10 @@ def _bench_closed_loop(policy, params, capacity, n_envs=8, ep_steps=20):
         (ids, types[i], jax.tree_util.tree_map(lambda x: x[i : i + 1], image_batch), None)
         for i in range(sb)
     ]
+    from vima_tpu.bridge.adapters import get_adapter
+
     state = _encode_prompt_group(
-        policy, params, tokenized, capacity,
+        get_adapter(policy), params, tokenized, capacity,
         n_objs=1, n_words_pad=32, n_imgs_pad=sb, lp_pad=32,
     )
     acts = None

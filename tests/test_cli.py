@@ -40,6 +40,32 @@ def test_example_cli_all_partitions_sweep(capsys):
     assert result["episodes_total"] == sum(len(v) for v in example._FAKE_TASKS.values())
 
 
+def test_parity_cli(tmp_path, capsys):
+    pytest.importorskip("torch")
+    from tests.reference_loader import reference_available
+
+    if not reference_available():
+        pytest.skip("PyTorch reference not available")
+    import torch
+
+    from vima_tpu.eval import parity
+    from vima_tpu.eval.reference_compat import build_reference_vima_policy
+
+    ref, cfg, _ = build_reference_vima_policy(
+        embed_dim=256, xf_n_layers=1, sattn_n_heads=4, xattn_n_heads=4,
+        t5_num_layers=1, t5_d_ff=64, vocab_size=50,
+    )
+    sd = {f"policy.{k}": v for k, v in ref.state_dict().items()}
+    ckpt = tmp_path / "tiny_ref.ckpt"
+    torch.save({"cfg": cfg, "state_dict": sd}, ckpt)
+
+    parity.main(["--ckpt", str(ckpt), "--episodes", "1", "--steps", "2", "--max-objs", "3"])
+    out = capsys.readouterr().out.strip().splitlines()
+    summary = json.loads(out[-1])["summary"]
+    assert summary["parity"] is True
+    assert summary["total_mismatches"] == 0
+
+
 def test_record_cli(tmp_path, capsys):
     from vima_tpu.eval import record
     from vima_tpu.train.data import TrajectoryDataset
