@@ -108,6 +108,23 @@ def test_sharded_train_step_8dev():
     assert m2["loss/total"] < m1["loss/total"]  # optimizes on a repeated batch
 
 
+def test_mixed_precision_train_step():
+    """bf16 compute / fp32 params+optimizer (the TPU training default: fp32
+    MXU matmuls run multi-pass at <1/30th bf16 throughput): params must
+    stay fp32 through the update, loss finite and decreasing."""
+    policy = tiny_policy().clone(dtype=jnp.bfloat16)
+    params = init_params(policy)
+    mesh = make_mesh(dp=4, tp=2)
+    trainer = Trainer(policy, mesh, learning_rate=1e-3).init(params)
+    batch = jax.tree.map(jnp.asarray, make_batch(np.random.default_rng(2), B=8))
+    m1 = trainer.step(batch)
+    m2 = trainer.step(batch)
+    assert np.isfinite(m1["loss/total"])
+    assert m2["loss/total"] < m1["loss/total"]
+    leaf_dtypes = {x.dtype for x in jax.tree.leaves(trainer.params)}
+    assert jnp.bfloat16 not in leaf_dtypes, leaf_dtypes
+
+
 def test_trainer_evaluate():
     """Validation pass: deterministic (no dropout), no param update."""
     policy = tiny_policy()

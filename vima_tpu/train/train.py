@@ -34,6 +34,15 @@ def main(argv=None):
     p.add_argument("--max-objs", type=int, default=10)
     p.add_argument("--prompt-len", type=int, default=64)
     p.add_argument("--remat", action="store_true")
+    p.add_argument(
+        "--dtype",
+        default="fp32",
+        choices=["fp32", "bf16"],
+        help="computation dtype (mixed precision: params/optimizer stay "
+        "fp32, activations and matmuls run bf16 with fp32 logit/softmax "
+        "islands — fp32 matmuls run multi-pass on the TPU MXU at <1/30th "
+        "of bf16 throughput)",
+    )
     p.add_argument("--out", default=None, help="orbax checkpoint output dir")
     p.add_argument("--metrics", default=None, help="JSONL metrics path (default stdout)")
     p.add_argument("--resume", default=None, help="orbax checkpoint to resume params from")
@@ -62,7 +71,8 @@ def main(argv=None):
     elif cfg.resume:
         policy, params = load_checkpoint(cfg.resume)
     else:
-        policy = get_config(cfg.model).build(remat=cfg.remat)
+        compute_dtype = jnp.bfloat16 if cfg.dtype == "bf16" else jnp.float32
+        policy = get_config(cfg.model).build(remat=cfg.remat, dtype=compute_dtype)
         params = init_params(policy)
 
     mesh = make_mesh(dp=cfg.dp, tp=cfg.tp)
