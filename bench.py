@@ -433,7 +433,13 @@ def _bench_closed_loop(policy, params, capacity, n_envs=8, ep_steps=20):
             for i in range(n_envs)
         ]
 
-    kwargs = dict(tokenize_prompt=tok, max_objs=N_OBJS, capacity=capacity, env_workers=4)
+    # capacity=None: the loop auto-sizes the KV cache to the episode limit
+    # (bucketed) instead of the full architecture cap — measure what real
+    # episodes pay. The device-only comparison below uses the same bucket.
+    from vima_tpu.bridge.env_loop import CAPACITY_BUCKET, MAX_CAPACITY, _ceil_to
+
+    capacity = min(MAX_CAPACITY, _ceil_to((ep_steps + 2) * (1 + 2 * N_OBJS), CAPACITY_BUCKET))
+    kwargs = dict(tokenize_prompt=tok, max_objs=N_OBJS, capacity=None, env_workers=4)
     run_episode_batch(policy, params, make_envs(), **kwargs)  # compile
     t0 = time.perf_counter()
     results = run_episode_batch(policy, params, make_envs(), **kwargs)
@@ -489,6 +495,7 @@ def _bench_closed_loop(policy, params, capacity, n_envs=8, ep_steps=20):
 
     per_dispatch_ms = wall / dispatches * 1e3
     return {
+        "kv_capacity": capacity,
         "wall_s": round(wall, 3),
         "env_steps_per_sec": round(total_env_steps / wall, 1),
         "per_dispatch_ms": round(per_dispatch_ms, 3),

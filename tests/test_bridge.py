@@ -201,9 +201,8 @@ def test_closed_loop_fake_env():
         TimeLimit(ResetFaultTolerance(FakeVimaEnv(seed=i, fail_first_resets=i)), 2)
         for i in range(2)
     ]
-    results = run_episode_batch(
-        policy, params, envs, tokenize_prompt=tok, max_objs=4, capacity=64
-    )
+    # capacity=None: auto-sized to the episode limit (bucketed)
+    results = run_episode_batch(policy, params, envs, tokenize_prompt=tok, max_objs=4)
     assert len(results) == 2
     for r in results:
         assert r["done"]

@@ -178,6 +178,10 @@ def _actions_to_env(actions_np: Dict[str, np.ndarray], lo: np.ndarray, hi: np.nd
     return out
 
 
+CAPACITY_BUCKET = 128  # auto-sized KV capacities round up to this
+MAX_CAPACITY = 512  # the architecture's n_positions cap (xattn_gpt.py:18)
+
+
 def run_episode_batch(
     policy,
     params,
@@ -185,7 +189,7 @@ def run_episode_batch(
     *,
     tokenize_prompt: Callable[[str], tuple],
     max_objs: int = 10,
-    capacity: int = 512,
+    capacity: Optional[int] = None,
     max_steps: Optional[int] = None,
     detector=None,
     env_workers: int = 0,
@@ -213,9 +217,13 @@ def run_episode_batch(
     # KV-cache capacity contract (see policy/rollout.py::rollout_step):
     # fail before the expensive prompt encode, not after. (Decoder-only
     # prefill slots are re-checked below once the prompt length is known.)
+    # capacity=None auto-sizes to the episode limit, bucketed — VIMA-Bench
+    # episodes are short (oracle_max_steps + 2, reference example.py:494-496),
+    # so attending over the architecture's full 512-slot cap every step
+    # would waste 2-4x cache-attend FLOPs and HBM traffic.
     _limit = max_steps or max(env.task.oracle_max_steps + 2 for env in envs)
     _chunk = 1 + adapter.chunk_obs_tokens(max_objs)
-    if _limit * _chunk > capacity:
+    if capacity is not None and _limit * _chunk > capacity:
         raise ValueError(
             f"episode limit {_limit} x {_chunk}-token chunks exceeds KV "
             f"capacity {capacity}; raise capacity= or lower max_steps/max_objs"
@@ -251,7 +259,10 @@ def run_episode_batch(
 
     # decoder-only families prefill [prompt | sep] into the same causal cache
     prefill = adapter.prefill_slots(lp_pad)
-    if prefill + _limit * _chunk > capacity:
+    need = prefill + _limit * _chunk
+    if capacity is None:
+        capacity = min(MAX_CAPACITY, _ceil_to(need, CAPACITY_BUCKET))
+    if need > capacity:
         raise ValueError(
             f"prompt prefill ({prefill} slots) + episode limit {_limit} x "
             f"{_chunk}-token chunks exceeds KV capacity {capacity}; raise "
