@@ -143,8 +143,13 @@ def _scan_samples(bench_episodes, policy, params, state0, objects_seq, ee_seq, r
 
 
 def _flops_per_call(bench_episodes, policy, args):
-    """XLA's own FLOP count for one bench_episodes execution (analytical
-    cost model of the compiled module)."""
+    """XLA's analytical FLOP count for the compiled module.
+
+    XLA's cost analysis counts each ``while``-loop body ONCE (not times the
+    trip count), so for the nested-scan harness the raw module total is one
+    rollout step's FLOPs, plus a negligible prologue — verified against the
+    analytic 2*params*tokens estimate (12.0e9 raw vs ~11.6e9 analytic at
+    B=1 for the 200M config). Callers must NOT divide by the step count."""
     try:
         compiled = bench_episodes.lower(policy, *args).compile()
         ca = compiled.cost_analysis()
@@ -308,7 +313,7 @@ def bench_ours():
             if name == "bf16":
                 fl = _flops_per_call(bench_episodes, pol, (par, st_b, obj_b, ee_b))
                 if fl is not None:
-                    per_step = fl / (SCAN_STEPS * SCAN_EPISODES)
+                    per_step = fl  # while bodies counted once: raw == one step
                     entry[name]["flops_per_step"] = round(per_step)
                     entry[name]["tflops_per_sec"] = round(per_step / (p50 / 1e3) / 1e12, 2)
                     if peak:

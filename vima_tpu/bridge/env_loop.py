@@ -360,16 +360,28 @@ def run_episode_batch(
                 prepared[b] = prep
         s["steps"] += 1
 
+    def _drive(s):
+        """Complete/redispatch loop for one stream. Each stream runs on its
+        own thread: the action fetch costs a full host<->device round trip
+        (~30 ms on the tunneled TPU), and with the streams on one thread
+        those fetches serialize — threading overlaps stream A's fetch + host
+        tail with stream B's, on top of the device overlap. Streams own
+        disjoint env slots, so all shared indexing is race-free; JAX
+        dispatch/fetch are thread-safe."""
+        while s["inflight"] is not None:
+            _complete(s)
+            if s["steps"] < _limit and not all(done[b] for b in s["ids"]):
+                _dispatch(s)
+
     try:
         for s in streams:
             _dispatch(s)
-        while any(s["inflight"] is not None for s in streams):
-            for s in streams:
-                if s["inflight"] is None:
-                    continue
-                _complete(s)
-                if s["steps"] < _limit and not all(done[b] for b in s["ids"]):
-                    _dispatch(s)
+        if len(streams) > 1:
+            with concurrent.futures.ThreadPoolExecutor(len(streams)) as drivers:
+                for f in [drivers.submit(_drive, s) for s in streams]:
+                    f.result()
+        else:
+            _drive(streams[0])
     finally:
         if pool is not None:
             pool.shutdown()

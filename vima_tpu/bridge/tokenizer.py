@@ -54,10 +54,42 @@ class PromptTokenizer:
         if tokenizer_path is not None:
             self._tok = self._load_hf(tokenizer_path)
         elif not offline:
-            try:
-                self._tok = self._load_hf("t5-base")
-            except Exception:
-                self._tok = None  # offline: hash fallback
+            # Probe the local HF cache first: on a zero-egress host the
+            # network path burns ~40 s of DNS retries before failing, and
+            # the cache answer is definitive either way.
+            cached = self._from_cache("t5-base")
+            if cached is not None:
+                self._tok = self._load_hf(cached)
+            elif self._hub_reachable():
+                try:
+                    self._tok = self._load_hf("t5-base")
+                except Exception:
+                    self._tok = None  # offline: hash fallback
+
+    @staticmethod
+    def _hub_reachable(timeout: float = 2.0) -> bool:
+        """One fast DNS probe: the hub client otherwise burns ~25 s of
+        retries per process on zero-egress hosts before giving up."""
+        import socket
+
+        try:
+            socket.setdefaulttimeout(timeout)
+            socket.getaddrinfo("huggingface.co", 443)
+            return True
+        except OSError:
+            return False
+        finally:
+            socket.setdefaulttimeout(None)
+
+    @staticmethod
+    def _from_cache(repo: str):
+        try:
+            from huggingface_hub import try_to_load_from_cache
+
+            path = try_to_load_from_cache(repo, "tokenizer.json")
+            return path if isinstance(path, str) else None
+        except Exception:
+            return None
 
     def _load_hf(self, path):
         from tokenizers import AddedToken, Tokenizer

@@ -98,8 +98,13 @@ def encode_prompt(
       ``mask`` (B, Lp) bool  — assembled prompt mask (host-computed from
       token types and per-object masks, reference vima_policy.py:168-231).
     capacity: self-attn KV capacity S (static).
-    cache_dtype: KV-cache storage dtype (static); default = activation
-      dtype. bf16 halves cache-read traffic; attention logits stay fp32.
+    cache_dtype: KV-cache storage dtype (static); default fp32 even for
+      bf16 policies — measured on v5e (B=64, cap 512, 200M config): a bf16
+      cache is ~25% SLOWER per step (14.1 vs 11.4 ms) despite half the
+      traffic, because the (16,128)-tiled bf16 buffers make the unaligned
+      17-row chunk updates and D=64 reads pay more than the bandwidth
+      saved. Pass bf16 explicitly when cache HBM footprint is the binding
+      constraint. Attention logits stay fp32 either way.
     Returns (prompt_tokens (B, Lp, E), RolloutState).
     """
     apply = lambda method, *a, **kw: policy.apply(params, *a, method=method, **kw)
@@ -112,7 +117,7 @@ def encode_prompt(
     n_layer = policy.xf_n_layers
     H = policy.sattn_n_heads
     D = policy.embed_dim // H
-    cdt = cache_dtype or prompt_tokens.dtype
+    cdt = cache_dtype or jnp.float32
     state = RolloutState(
         prompt_k=jax.tree_util.tree_map(lambda x: x.astype(cdt), pk),
         prompt_v=jax.tree_util.tree_map(lambda x: x.astype(cdt), pv),

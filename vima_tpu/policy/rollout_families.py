@@ -53,15 +53,17 @@ def encode_prompt_flamingo(policy, params, word_batch, image_batch, gather, capa
     n_layer = policy.dt_n_layers
     H = policy.dt_n_heads
     D = policy.embed_dim // H
+    # fp32 cache storage even for bf16 policies (see rollout.encode_prompt:
+    # bf16-tiled cache buffers measured slower on v5e).
     state = RolloutState(
         prompt_k=pk,
         prompt_v=pv,
         prompt_mask=prompt_mask,
         cache_k=tuple(
-            jnp.zeros((B, H, capacity, D), prompt_tokens.dtype) for _ in range(n_layer)
+            jnp.zeros((B, H, capacity, D), jnp.float32) for _ in range(n_layer)
         ),
         cache_v=tuple(
-            jnp.zeros((B, H, capacity, D), prompt_tokens.dtype) for _ in range(n_layer)
+            jnp.zeros((B, H, capacity, D), jnp.float32) for _ in range(n_layer)
         ),
         slot_mask=jnp.zeros((B, capacity), bool),
         write_index=jnp.int32(0),
@@ -155,11 +157,12 @@ def encode_prompt_decoder_only(policy, params, word_batch, image_batch, gather, 
     n_layer = policy.n_layer
     H = policy.n_head
     D = policy.embed_dim // H
+    # fp32 cache storage even for bf16 policies (see rollout.encode_prompt).
     cache_k = tuple(
-        jnp.zeros((B, H, capacity, D), prompt_tokens.dtype) for _ in range(n_layer)
+        jnp.zeros((B, H, capacity, D), jnp.float32) for _ in range(n_layer)
     )
     cache_v = tuple(
-        jnp.zeros((B, H, capacity, D), prompt_tokens.dtype) for _ in range(n_layer)
+        jnp.zeros((B, H, capacity, D), jnp.float32) for _ in range(n_layer)
     )
     slot_mask = jnp.zeros((B, capacity), bool)
     slot_mask = jax.lax.dynamic_update_slice(
