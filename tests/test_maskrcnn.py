@@ -1,0 +1,312 @@
+"""Mask R-CNN (TPU-native detector) tests.
+
+The reference releases the detector checkpoint (reference README.md:34,37)
+but no detector code; the numerics targets here are torchvision
+``maskrcnn_resnet50_fpn`` inference semantics, verified against
+self-contained numpy references (torchvision is not installed in CI).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vima_tpu.nn.maskrcnn import (
+    MaskRCNN,
+    MaskPredictor,
+    decode_boxes,
+    generate_anchors,
+    nms_padded,
+    roi_align,
+)
+
+TINY = dict(
+    num_classes=5,
+    blocks=(1, 1, 1, 1),
+    width=8,
+    fpn_features=16,
+    anchor_sizes=(8, 16, 32, 64, 128),
+    pre_nms_top_n=50,
+    post_nms_top_n=20,
+    detections_per_img=8,
+    representation=32,
+)
+
+
+def _np_nms(boxes, scores, thresh):
+    """Reference greedy NMS (torchvision semantics: iou > thresh suppresses)."""
+    order = list(np.argsort(-scores))
+    keep = []
+    while order:
+        i = order.pop(0)
+        keep.append(i)
+        rest = []
+        for j in order:
+            xx1 = max(boxes[i, 0], boxes[j, 0])
+            yy1 = max(boxes[i, 1], boxes[j, 1])
+            xx2 = min(boxes[i, 2], boxes[j, 2])
+            yy2 = min(boxes[i, 3], boxes[j, 3])
+            inter = max(xx2 - xx1, 0) * max(yy2 - yy1, 0)
+            a = (boxes[i, 2] - boxes[i, 0]) * (boxes[i, 3] - boxes[i, 1])
+            b = (boxes[j, 2] - boxes[j, 0]) * (boxes[j, 3] - boxes[j, 1])
+            if inter / max(a + b - inter, 1e-9) <= thresh:
+                rest.append(j)
+        order = rest
+    return keep
+
+
+def test_nms_matches_numpy():
+    rng = np.random.RandomState(0)
+    n = 40
+    xy = rng.uniform(0, 50, (n, 2))
+    wh = rng.uniform(2, 25, (n, 2))
+    boxes = np.concatenate([xy, xy + wh], axis=1).astype(np.float32)
+    scores = rng.uniform(0.01, 1.0, n).astype(np.float32)
+    ref = _np_nms(boxes, scores, 0.5)
+    idx, ks, valid = jax.jit(
+        lambda b, s: nms_padded(b, s, jnp.ones(n, bool), 0.5, n)
+    )(boxes, scores)
+    got = [int(i) for i, v in zip(np.asarray(idx), np.asarray(valid)) if v]
+    assert got == ref
+    np.testing.assert_allclose(np.asarray(ks)[: len(ref)], scores[ref], rtol=1e-6)
+
+
+def test_roi_align_matches_numpy():
+    """Exact check vs a direct numpy RoIAlign (aligned=False, ratio 2)."""
+    rng = np.random.RandomState(1)
+    feat = rng.randn(12, 16, 3).astype(np.float32)
+    boxes = np.array([[2.0, 1.5, 10.0, 9.0], [0.0, 0.0, 16.0, 12.0]], np.float32)
+    out_size, n, scale = 4, 2, 0.5
+
+    def np_bilinear(y, x):
+        H, W = feat.shape[:2]
+        y = min(max(y, 0.0), H - 1.0)
+        x = min(max(x, 0.0), W - 1.0)
+        y0, x0 = int(np.floor(y)), int(np.floor(x))
+        y1, x1 = min(y0 + 1, H - 1), min(x0 + 1, W - 1)
+        wy, wx = y - y0, x - x0
+        return (
+            feat[y0, x0] * (1 - wy) * (1 - wx)
+            + feat[y0, x1] * (1 - wy) * wx
+            + feat[y1, x0] * wy * (1 - wx)
+            + feat[y1, x1] * wy * wx
+        )
+
+    want = np.zeros((len(boxes), out_size, out_size, 3), np.float32)
+    for bi, b in enumerate(boxes * scale):
+        bw = max(b[2] - b[0], 1.0)
+        bh = max(b[3] - b[1], 1.0)
+        cw, ch = bw / out_size, bh / out_size
+        for i in range(out_size):
+            for j in range(out_size):
+                acc = np.zeros(3, np.float32)
+                for iy in range(n):
+                    for ix in range(n):
+                        y = b[1] + ch * (i + (iy + 0.5) / n)
+                        x = b[0] + cw * (j + (ix + 0.5) / n)
+                        acc += np_bilinear(y, x)
+                want[bi, i, j] = acc / (n * n)
+
+    got = np.asarray(roi_align(jnp.asarray(feat), jnp.asarray(boxes), out_size, scale, n))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_decode_boxes_identity_and_clamp():
+    anchors = jnp.asarray([[0.0, 0.0, 10.0, 20.0]])
+    out = decode_boxes(anchors, jnp.zeros((1, 4)))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(anchors), atol=1e-5)
+    # huge dh is clamped at log(1000/16), not inf
+    out = decode_boxes(anchors, jnp.asarray([[0.0, 0.0, 0.0, 50.0]]))
+    assert np.isfinite(np.asarray(out)).all()
+    np.testing.assert_allclose(np.asarray(out)[0, 3] - np.asarray(out)[0, 1], 20 * 1000 / 16)
+
+
+def test_mask_predictor_equals_manual_convtranspose():
+    """The einsum deconv must equal ConvTranspose2d (kernel 2, stride 2)."""
+    rng = np.random.RandomState(2)
+    x = rng.randn(2, 3, 3, 4).astype(np.float32)
+    mod = MaskPredictor(features=5, num_classes=2)
+    params = mod.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    W = np.asarray(params["params"]["conv5_mask_kernel"])  # (C=4, F=5, 2, 2)
+    b = np.asarray(params["params"]["conv5_mask_bias"])
+    want = np.zeros((2, 6, 6, 5), np.float32)
+    for ni in range(2):
+        for i in range(3):
+            for j in range(3):
+                for di in range(2):
+                    for dj in range(2):
+                        want[ni, 2 * i + di, 2 * j + dj] += x[ni, i, j] @ W[:, :, di, dj]
+    want = np.maximum(want + b, 0.0)
+    k = np.asarray(params["params"]["mask_fcn_logits"]["kernel"])[0, 0]  # (F, C)
+    kb = np.asarray(params["params"]["mask_fcn_logits"]["bias"])
+    want = want @ k + kb
+    got = np.asarray(mod.apply(params, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_anchor_grid_matches_feature_shapes():
+    grids = [(16, 16), (8, 8), (4, 4), (2, 2), (1, 1)]
+    anchors = generate_anchors(grids, [4, 8, 16, 32, 64], (8, 16, 32, 64, 128))
+    for (fh, fw), a in zip(grids, anchors):
+        assert a.shape == (fh * fw * 3, 4)
+    # ratio-1 anchor at cell (0,0) of level 0 is centered on the origin
+    np.testing.assert_allclose(anchors[0][1], [-4, -4, 4, 4])
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    model = MaskRCNN(**TINY)
+    img = jnp.zeros((64, 64, 3), jnp.float32)
+    hw = jnp.asarray([64.0, 64.0])
+    params = model.init(jax.random.PRNGKey(0), img, hw)
+    return model, params
+
+
+def test_full_forward_shapes(tiny_model):
+    model, params = tiny_model
+    rng = np.random.RandomState(3)
+    img = jnp.asarray(rng.uniform(0, 1, (64, 64, 3)).astype(np.float32))
+    out = jax.jit(model.apply)(params, img, jnp.asarray([60.0, 64.0]))
+    D = TINY["detections_per_img"]
+    assert out["boxes"].shape == (D, 4)
+    assert out["scores"].shape == (D,)
+    assert out["labels"].shape == (D,)
+    assert out["masks"].shape == (D, 28, 28)
+    assert out["valid"].shape == (D,)
+    boxes = np.asarray(out["boxes"])[np.asarray(out["valid"])]
+    if boxes.size:  # random init: detections may or may not clear 0.05
+        assert (boxes[:, 0] <= boxes[:, 2] + 1e-5).all()
+        assert (boxes[:, 2] <= 64).all() and (boxes[:, 3] <= 60).all()
+    m = np.asarray(out["masks"])
+    assert (m >= 0).all() and (m <= 1).all()
+
+
+def _fake_torchvision_sd(cfg, vintage_new: bool, rng):
+    """torchvision maskrcnn state_dict layout with random weights."""
+    sd = {}
+
+    def t(key, *shape):
+        sd[key] = rng.randn(*shape).astype(np.float32) * 0.05
+
+    def bn(key, c):
+        sd[f"{key}.weight"] = rng.uniform(0.5, 1.5, c).astype(np.float32)
+        sd[f"{key}.bias"] = rng.randn(c).astype(np.float32) * 0.05
+        sd[f"{key}.running_mean"] = rng.randn(c).astype(np.float32) * 0.05
+        sd[f"{key}.running_var"] = rng.uniform(0.5, 1.5, c).astype(np.float32)
+
+    w, F, C, rep = cfg["width"], cfg["fpn_features"], cfg["num_classes"], cfg["representation"]
+    t("backbone.body.conv1.weight", w, 3, 7, 7)
+    bn("backbone.body.bn1", w)
+    in_ch = w
+    stage_out = []
+    for s, nblocks in enumerate(cfg["blocks"], start=1):
+        mid = w * 2 ** (s - 1)
+        out = mid * 4
+        for b in range(nblocks):
+            p = f"backbone.body.layer{s}.{b}"
+            t(f"{p}.conv1.weight", mid, in_ch if b == 0 else out, 1, 1)
+            bn(f"{p}.bn1", mid)
+            t(f"{p}.conv2.weight", mid, mid, 3, 3)
+            bn(f"{p}.bn2", mid)
+            t(f"{p}.conv3.weight", out, mid, 1, 1)
+            bn(f"{p}.bn3", out)
+            if b == 0:
+                t(f"{p}.downsample.0.weight", out, in_ch, 1, 1)
+                bn(f"{p}.downsample.1", out)
+        in_ch = out
+        stage_out.append(out)
+    for i, c in enumerate(stage_out):
+        ib = f"backbone.fpn.inner_blocks.{i}" + (".0" if vintage_new else "")
+        lb = f"backbone.fpn.layer_blocks.{i}" + (".0" if vintage_new else "")
+        t(f"{ib}.weight", F, c, 1, 1)
+        t(f"{ib}.bias", F)
+        t(f"{lb}.weight", F, F, 3, 3)
+        t(f"{lb}.bias", F)
+    rc = "rpn.head.conv.0.0" if vintage_new else "rpn.head.conv"
+    t(f"{rc}.weight", F, F, 3, 3)
+    t(f"{rc}.bias", F)
+    t("rpn.head.cls_logits.weight", 3, F, 1, 1)
+    t("rpn.head.cls_logits.bias", 3)
+    t("rpn.head.bbox_pred.weight", 12, F, 1, 1)
+    t("rpn.head.bbox_pred.bias", 12)
+    t("roi_heads.box_head.fc6.weight", rep, F * 49)
+    t("roi_heads.box_head.fc6.bias", rep)
+    t("roi_heads.box_head.fc7.weight", rep, rep)
+    t("roi_heads.box_head.fc7.bias", rep)
+    t("roi_heads.box_predictor.cls_score.weight", C, rep)
+    t("roi_heads.box_predictor.cls_score.bias", C)
+    t("roi_heads.box_predictor.bbox_pred.weight", 4 * C, rep)
+    t("roi_heads.box_predictor.bbox_pred.bias", 4 * C)
+    for i in range(1, 5):
+        p = (
+            f"roi_heads.mask_head.{i - 1}.0"
+            if vintage_new
+            else f"roi_heads.mask_head.mask_fcn{i}"
+        )
+        t(f"{p}.weight", F, F, 3, 3)
+        t(f"{p}.bias", F)
+    t("roi_heads.mask_predictor.conv5_mask.weight", F, F, 2, 2)
+    t("roi_heads.mask_predictor.conv5_mask.bias", F)
+    t("roi_heads.mask_predictor.mask_fcn_logits.weight", C, F, 1, 1)
+    t("roi_heads.mask_predictor.mask_fcn_logits.bias", C)
+    return sd
+
+
+@pytest.mark.parametrize("vintage_new", [False, True])
+def test_torchvision_converter(tiny_model, vintage_new):
+    """Converted fake-torchvision state dict must exactly match the model's
+    param tree (shapes + structure) and run the forward."""
+    from vima_tpu.ckpt.detector_convert import convert_maskrcnn
+
+    model, init_params = tiny_model
+    sd = _fake_torchvision_sd(TINY, vintage_new, np.random.RandomState(4))
+    params, cfg = convert_maskrcnn(sd)
+    assert cfg["num_classes"] == TINY["num_classes"]
+    assert cfg["blocks"] == TINY["blocks"]
+    assert cfg["width"] == TINY["width"]
+    assert cfg["num_anchors"] == 3
+
+    want = jax.tree_util.tree_map(lambda x: x.shape, init_params)
+    got = jax.tree_util.tree_map(lambda x: x.shape, params)
+    assert want == got
+
+    out = model.apply(
+        jax.tree_util.tree_map(jnp.asarray, params),
+        jnp.zeros((64, 64, 3)),
+        jnp.asarray([64.0, 64.0]),
+    )
+    assert out["masks"].shape == (TINY["detections_per_img"], 28, 28)
+
+
+def test_converter_rejects_unconsumed_keys():
+    from vima_tpu.ckpt.detector_convert import convert_maskrcnn
+
+    sd = _fake_torchvision_sd(TINY, False, np.random.RandomState(5))
+    sd["rpn.extra.weight"] = np.zeros((1,), np.float32)
+    with pytest.raises(ValueError, match="unconsumed"):
+        convert_maskrcnn(sd)
+
+
+def test_jax_detector_in_obs_loop(tiny_model):
+    """BASELINE config 3 flow with the TPU-native detector: detect ->
+    segm -> prepare_obs with detector-derived object ids."""
+    from vima_tpu.bridge.detector import JaxMaskRCNNDetector
+    from vima_tpu.bridge.obs_prep import prepare_obs
+
+    model, params = tiny_model
+    det = JaxMaskRCNNDetector(
+        model=model, params=params, score_threshold=0.0, min_size=64, max_size=64
+    )
+    rng = np.random.RandomState(6)
+    rgb = {
+        "front": rng.randint(0, 255, (3, 64, 128), dtype=np.uint8),
+        "top": rng.randint(0, 255, (3, 64, 128), dtype=np.uint8),
+    }
+    segm = det.detect(rgb, {})
+    assert sorted(segm) == ["front", "top"]
+    for v in segm.values():
+        assert v.shape == (64, 128) and v.dtype == np.int32
+    obs = {"rgb": rgb, "segm": segm, "ee": 0}
+    prepared = prepare_obs(obs, None, max_objs=4)
+    assert prepared["objects"]["cropped_img"]["front"].shape == (1, 4, 3, 32, 32)

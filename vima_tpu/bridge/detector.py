@@ -35,6 +35,125 @@ class OracleSegmDetector:
         return obs["segm"]
 
 
+def _np_bilinear_resize(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Half-pixel-center bilinear resize (torch F.interpolate
+    align_corners=False semantics), pure numpy — used for host-side mask
+    pasting so no eager device op pays the tunnel round trip."""
+    h, w = img.shape[:2]
+    ys = (np.arange(out_h) + 0.5) * h / out_h - 0.5
+    xs = (np.arange(out_w) + 0.5) * w / out_w - 0.5
+    y0 = np.clip(np.floor(ys), 0, h - 1).astype(np.int64)
+    x0 = np.clip(np.floor(xs), 0, w - 1).astype(np.int64)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = np.clip(ys - y0, 0.0, 1.0)[:, None]
+    wx = np.clip(xs - x0, 0.0, 1.0)[None, :]
+    a = img[np.ix_(y0, x0)]
+    b = img[np.ix_(y0, x1)]
+    c = img[np.ix_(y1, x0)]
+    d = img[np.ix_(y1, x1)]
+    return a * (1 - wy) * (1 - wx) + b * (1 - wy) * wx + c * wy * (1 - wx) + d * wy * wx
+
+
+class JaxMaskRCNNDetector:
+    """TPU-native Mask R-CNN detector (no torch/torchvision at inference).
+
+    Loads the reference's released ``mask_rcnn.pth`` (torchvision format,
+    reference README.md:34,37) via ``ckpt.detector_convert`` and runs the
+    static-shape Flax graph (``nn.maskrcnn.MaskRCNN``); both camera views
+    go through one vmapped jit call. Resize/pad to the static canvas
+    happens inside the jit; mask pasting back to frame coordinates is
+    host-side numpy.
+
+    For tests (or custom detectors), pass ``model``/``params`` directly
+    instead of ``ckpt_path``.
+    """
+
+    def __init__(
+        self,
+        ckpt_path: str | None = None,
+        *,
+        model=None,
+        params=None,
+        score_threshold: float = 0.5,
+        mask_threshold: float = 0.5,
+        min_size: int = 800,
+        max_size: int = 1333,
+        **model_overrides,
+    ):
+        if ckpt_path is not None:
+            from vima_tpu.ckpt.detector_convert import load_maskrcnn_from_torch_ckpt
+
+            model, params = load_maskrcnn_from_torch_ckpt(ckpt_path, **model_overrides)
+        if model is None or params is None:
+            raise ValueError("need either ckpt_path or (model, params)")
+        self.model = model
+        self.params = params
+        self._thr = score_threshold
+        self._mthr = mask_threshold
+        self._min = min_size
+        self._max = max_size
+        self._jit = None  # built lazily once the frame geometry is known
+
+    def _build(self, h: int, w: int):
+        import jax
+        import jax.numpy as jnp
+
+        scale = min(self._min / min(h, w), self._max / max(h, w))
+        nh, nw = int(round(h * scale)), int(round(w * scale))
+        ch = -(-nh // 32) * 32
+        cw = -(-nw // 32) * 32
+
+        def run(params, frames):  # frames (V, H0, W0, 3) float [0,1]
+            def one(img):
+                img = jax.image.resize(img, (nh, nw, 3), "bilinear")
+                img = jnp.pad(img, ((0, ch - nh), (0, cw - nw), (0, 0)))
+                return self.model.apply(
+                    params, img, jnp.asarray([nh, nw], jnp.float32)
+                )
+
+            return jax.vmap(one)(frames)
+
+        self._jit = jax.jit(run)
+        self._scale = scale
+        self._frame_hw = (h, w)
+
+    def detect(self, rgb, obs):
+        views = sorted(rgb.keys())
+        frames = np.stack(
+            [np.asarray(rgb[v]).transpose(1, 2, 0).astype(np.float32) / 255.0 for v in views]
+        )
+        h, w = frames.shape[1:3]
+        if self._jit is None or self._frame_hw != (h, w):
+            self._build(h, w)
+        import jax
+
+        out = jax.tree_util.tree_map(np.asarray, self._jit(self.params, frames))
+        segm = {}
+        for vi, view in enumerate(views):
+            seg = np.zeros((h, w), dtype=np.int32)
+            next_id = 1
+            order = np.argsort(-out["scores"][vi])  # paint high -> low score
+            for di in order:
+                if not out["valid"][vi][di] or out["scores"][vi][di] < self._thr:
+                    continue
+                x1, y1, x2, y2 = out["boxes"][vi][di] / self._scale
+                ix1, iy1 = int(np.floor(x1)), int(np.floor(y1))
+                ix2, iy2 = int(np.ceil(x2)), int(np.ceil(y2))
+                ix1, iy1 = max(ix1, 0), max(iy1, 0)
+                ix2, iy2 = min(ix2, w), min(iy2, h)
+                if ix2 <= ix1 or iy2 <= iy1:
+                    continue
+                m = _np_bilinear_resize(
+                    out["masks"][vi][di], iy2 - iy1, ix2 - ix1
+                ) > self._mthr
+                region = seg[iy1:iy2, ix1:ix2]
+                region[m & (region == 0)] = next_id
+                next_id += 1
+            segm[view] = seg
+        return segm
+
+
 class MaskRCNNDetector:
     """Host-side Mask R-CNN (the reference's released detector ckpt).
 

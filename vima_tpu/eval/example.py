@@ -131,7 +131,7 @@ def _make_envs(cfg, partition: str, task: str, seed_base: int):
     return [make_env(i) for i in range(cfg.num_envs)]
 
 
-def _run_partition_task(policy, params, tokenize, cfg, partition: str, task: str, *, seed_base: int, emit_episodes: bool = True):
+def _run_partition_task(policy, params, tokenize, cfg, partition: str, task: str, *, seed_base: int, emit_episodes: bool = True, detector=None):
     """Run cfg.episodes batched episodes on one partition x task; return its
     summary dict (and print per-episode JSONL when emit_episodes)."""
     from vima_tpu.bridge.env_loop import run_episode_batch
@@ -140,7 +140,8 @@ def _run_partition_task(policy, params, tokenize, cfg, partition: str, task: str
     totals = {"episodes": 0, "successes": 0}
     for ep in range(cfg.episodes):
         results = run_episode_batch(
-            policy, params, envs, tokenize_prompt=tokenize, max_objs=cfg.max_objs
+            policy, params, envs, tokenize_prompt=tokenize, max_objs=cfg.max_objs,
+            detector=detector,
         )
         for r in results:
             totals["episodes"] += 1
@@ -172,6 +173,27 @@ def main(argv=None):
     )
     p.add_argument("--tokenizer", type=str, default=None, help="local tokenizer.json")
     p.add_argument(
+        "--detector",
+        type=str,
+        default=None,
+        help="path to the released mask_rcnn.pth (reference README.md:34,37); "
+        "runs the TPU-native Mask R-CNN in the obs loop instead of the "
+        "simulator's ground-truth segmentation (BASELINE config 3)",
+    )
+    p.add_argument(
+        "--detector-min-size",
+        type=int,
+        default=800,
+        help="detector input resize target for the short side (torchvision "
+        "default 800; VIMA frames are 64x128 so smaller is much faster)",
+    )
+    p.add_argument(
+        "--detector-max-size",
+        type=int,
+        default=1333,
+        help="detector input resize cap for the long side",
+    )
+    p.add_argument(
         "--all-partitions",
         action="store_true",
         help="sweep every task in all 4 generalization partitions (L1-L4) and "
@@ -189,6 +211,16 @@ def main(argv=None):
     from vima_tpu.bridge.tokenizer import PromptTokenizer
 
     policy, params = _build_policy(cfg)
+
+    detector = None
+    if cfg.detector is not None:
+        from vima_tpu.bridge.detector import JaxMaskRCNNDetector
+
+        detector = JaxMaskRCNNDetector(
+            cfg.detector,
+            min_size=cfg.detector_min_size,
+            max_size=cfg.detector_max_size,
+        )
 
     tokenize = PromptTokenizer(cfg.tokenizer, vocab_size=policy.vocab_size)
     if tokenize.using_fallback:
@@ -211,7 +243,7 @@ def main(argv=None):
                 for task in _partition_tasks(partition, cfg.fake_env):
                     summary = _run_partition_task(
                         policy, params, tokenize, cfg, partition, task,
-                        seed_base=seed, emit_episodes=False,
+                        seed_base=seed, emit_episodes=False, detector=detector,
                     )
                     seed += cfg.num_envs
                     sweep[partition][task] = {
@@ -237,7 +269,8 @@ def main(argv=None):
             print(json.dumps(out))
         else:
             totals = _run_partition_task(
-                policy, params, tokenize, cfg, cfg.partition, cfg.task, seed_base=42
+                policy, params, tokenize, cfg, cfg.partition, cfg.task,
+                seed_base=42, detector=detector,
             )
             print(json.dumps({"summary": totals}))
 
