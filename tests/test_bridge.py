@@ -208,3 +208,50 @@ def test_closed_loop_fake_env():
         assert r["done"]
         assert r["steps"] >= 1
         assert r["p50_step_latency_ms"] is not None
+
+
+def test_vendored_tokenizer_probe(tmp_path, monkeypatch):
+    """PromptTokenizer loads the vendored package asset (written by
+    python -m vima_tpu.bridge.vendor_tokenizer) before any network path.
+    Uses a small real `tokenizers` model built offline, so the full
+    json-load + AddedToken plumbing is exercised without the t5 vocab."""
+    import vima_tpu.bridge.tokenizer as tok_mod
+    from tokenizers import Tokenizer, models, pre_tokenizers
+
+    words = ["put", "the", "into", "sweep", "any", "."]
+    vocab = {w: i for i, w in enumerate(["<unk>"] + words)}
+    t = Tokenizer(models.WordLevel(vocab, unk_token="<unk>"))
+    t.pre_tokenizer = pre_tokenizers.Whitespace()
+    asset = tmp_path / "t5-base-tokenizer.json"
+    t.save(str(asset))
+
+    monkeypatch.setattr(tok_mod, "VENDORED_TOKENIZER", asset)
+    ptok = tok_mod.PromptTokenizer(tokenizer_path=None)
+    assert not ptok.using_fallback
+    ptok.require_real()  # must not raise with the vendored asset present
+    ids, types, names = ptok("put the {dragged_obj} into the {base_obj} .")
+    assert names == ["dragged_obj", "base_obj"]  # brace-stripped asset keys
+    assert types.count(1) == 2
+    # placeholder AddedTokens got ids past the base vocab
+    assert len(ids) == types.count(0)
+
+
+def test_golden_t5_ids_if_vendored():
+    """When the real t5-base asset is vendored, the production tokenizer
+    must reproduce the recorded golden encoding exactly (ids, types and
+    placeholder order — reference scripts/example.py:29-75)."""
+    import json
+
+    import pytest
+
+    from vima_tpu.bridge.tokenizer import VENDORED_TOKENIZER, PromptTokenizer
+    from vima_tpu.bridge.vendor_tokenizer import GOLDEN_PATH
+
+    if not (VENDORED_TOKENIZER.is_file() and GOLDEN_PATH.is_file()):
+        pytest.skip("t5-base tokenizer not vendored on this host (zero egress)")
+    golden = json.loads(GOLDEN_PATH.read_text())
+    ptok = PromptTokenizer(tokenizer_path=None)
+    ids, types, names = ptok(golden["prompt"])
+    assert [int(i) for i in ids] == golden["word_ids"]
+    assert [int(t) for t in types] == golden["token_types"]
+    assert list(names) == golden["placeholders"]

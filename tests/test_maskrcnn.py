@@ -152,6 +152,12 @@ def test_anchor_grid_matches_feature_shapes():
         assert a.shape == (fh * fw * 3, 4)
     # ratio-1 anchor at cell (0,0) of level 0 is centered on the origin
     np.testing.assert_allclose(anchors[0][1], [-4, -4, 4, 4])
+    # non-unit ratios round ONCE on the half-extents (torchvision
+    # AnchorGenerator): size 32 ratio 0.5 -> [-23,-11,23,11] (w/2 =
+    # 32*sqrt(2)/2 = 22.63 -> 23), not the double-rounded [-22,-12,22,12].
+    a32 = generate_anchors([(4, 4)], [16], (32,))[0]
+    np.testing.assert_allclose(a32[0], [-23, -11, 23, 11])  # ratio 0.5
+    np.testing.assert_allclose(a32[2], [-11, -23, 11, 23])  # ratio 2.0
 
 
 @pytest.fixture(scope="module")

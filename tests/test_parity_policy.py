@@ -288,11 +288,11 @@ def test_cached_rollout_matches_full_forward(policies):
     pk, pv = ours.apply(
         params, jnp.asarray(prompt_token), jnp.asarray(prompt_mask), method="encode_prompt_kv"
     )
-    n_layer, H = CFG["xf_n_layers"], CFG["sattn_n_heads"]
-    D = E // H
+    n_layer = CFG["xf_n_layers"]
     S = steps * (Q + 1)
-    cache_k = tuple(jnp.zeros((B, H, S, D)) for _ in range(n_layer))
-    cache_v = tuple(jnp.zeros((B, H, S, D)) for _ in range(n_layer))
+    # E-contiguous (B, S, E) caches (see nn/xattn_gpt.py docstring)
+    cache_k = tuple(jnp.zeros((B, S, E)) for _ in range(n_layer))
+    cache_v = tuple(jnp.zeros((B, S, E)) for _ in range(n_layer))
     slot_mask = np.zeros((B, S), dtype=bool)
     write_index = 0
     pos_count = np.zeros((B,), dtype=np.int32)

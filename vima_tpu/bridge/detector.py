@@ -138,16 +138,25 @@ class JaxMaskRCNNDetector:
                 if not out["valid"][vi][di] or out["scores"][vi][di] < self._thr:
                     continue
                 x1, y1, x2, y2 = out["boxes"][vi][di] / self._scale
-                ix1, iy1 = int(np.floor(x1)), int(np.floor(y1))
-                ix2, iy2 = int(np.ceil(x2)), int(np.ceil(y2))
-                ix1, iy1 = max(ix1, 0), max(iy1, 0)
-                ix2, iy2 = min(ix2, w), min(iy2, h)
-                if ix2 <= ix1 or iy2 <= iy1:
+                # torchvision paste_masks_in_image semantics: pad the MxM
+                # mask by 1 px, expand the box by (M+2)/M about its center,
+                # truncate to int, and use inclusive (+1) pixel extents.
+                mask = out["masks"][vi][di]
+                M = mask.shape[0]
+                mask = np.pad(mask, 1)
+                ex = (x2 - x1) * 0.5 * ((M + 2) / M)
+                ey = (y2 - y1) * 0.5 * ((M + 2) / M)
+                cx, cy = (x1 + x2) * 0.5, (y1 + y2) * 0.5
+                bx1, by1 = int(cx - ex), int(cy - ey)
+                bx2, by2 = int(cx + ex), int(cy + ey)
+                bw, bh = max(bx2 - bx1 + 1, 1), max(by2 - by1 + 1, 1)
+                x0, x1i = max(bx1, 0), min(bx2 + 1, w)
+                y0, y1i = max(by1, 0), min(by2 + 1, h)
+                if x1i <= x0 or y1i <= y0:
                     continue
-                m = _np_bilinear_resize(
-                    out["masks"][vi][di], iy2 - iy1, ix2 - ix1
-                ) > self._mthr
-                region = seg[iy1:iy2, ix1:ix2]
+                m = _np_bilinear_resize(mask, bh, bw) > self._mthr
+                m = m[y0 - by1 : y1i - by1, x0 - bx1 : x1i - bx1]
+                region = seg[y0:y1i, x0:x1i]
                 region[m & (region == 0)] = next_id
                 next_id += 1
             segm[view] = seg

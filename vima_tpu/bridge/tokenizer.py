@@ -3,14 +3,25 @@
 The reference uses the Rust HF ``tokenizers`` t5-base tokenizer with 43
 added placeholder tokens (scripts/example.py:22-75). Tokenization is
 host-side and not perf-critical (survey §2.2), so we keep the same
-library when a local tokenizer is available (``tokenizer_path`` or the HF
-cache) and fall back to a deterministic hash tokenizer for offline CI /
-fake envs.
+library when a local tokenizer is available and fall back to a
+deterministic hash tokenizer for offline CI / fake envs.
+
+Probe order: explicit ``tokenizer_path`` > the vendored package asset
+(``vima_tpu/assets/t5-base-tokenizer.json``, written once by
+``python -m vima_tpu.bridge.vendor_tokenizer`` on any host with network
+or an HF cache — after that every run is fully offline) > the HF cache >
+the hub. Real checkpoints refuse the hash fallback (:meth:`require_real`).
 """
 
 from __future__ import annotations
 
+import pathlib
 from typing import List, Sequence, Tuple
+
+# Written by ``python -m vima_tpu.bridge.vendor_tokenizer``; probed before
+# any network/cache path so checkpoint-driven runs work on zero-egress
+# hosts (reference scripts/example.py:29-75 needs the real t5-base vocab).
+VENDORED_TOKENIZER = pathlib.Path(__file__).parent.parent / "assets" / "t5-base-tokenizer.json"
 
 # The full placeholder vocabulary (reference scripts/example.py:29-72).
 PLACEHOLDERS: Tuple[str, ...] = tuple(
@@ -53,6 +64,8 @@ class PromptTokenizer:
         self._vocab_size = vocab_size
         if tokenizer_path is not None:
             self._tok = self._load_hf(tokenizer_path)
+        elif not offline and VENDORED_TOKENIZER.is_file():
+            self._tok = self._load_hf(str(VENDORED_TOKENIZER))
         elif not offline:
             # Probe the local HF cache first: on a zero-egress host the
             # network path burns ~40 s of DNS retries before failing, and
@@ -72,14 +85,14 @@ class PromptTokenizer:
         retries per process on zero-egress hosts before giving up."""
         import socket
 
+        # No setdefaulttimeout: that mutates process-global state and the
+        # env loop is multithreaded — a concurrent socket could inherit the
+        # probe timeout (or lose a previously configured default).
         try:
-            socket.setdefaulttimeout(timeout)
-            socket.getaddrinfo("huggingface.co", 443)
+            socket.create_connection(("huggingface.co", 443), timeout=timeout).close()
             return True
         except OSError:
             return False
-        finally:
-            socket.setdefaulttimeout(None)
 
     @staticmethod
     def _from_cache(repo: str):

@@ -87,32 +87,15 @@ class GPTDecoder(nn.Module):
         cache_mask: jnp.ndarray,
         write_index,
     ):
-        """Chunk (B, C, E) against per-layer caches (tuples of (B, H, S, D));
-        returns (out, new_cache_k, new_cache_v). Each layer updates its own
-        buffer in place (see XAttnGPT.forward_chunk)."""
-        from vima_tpu.ops.attention import attend
-
+        """Chunk (B, C, E) against per-layer E-contiguous caches (tuples of
+        (B, S, E)); returns (out, new_cache_k, new_cache_v). Each layer
+        updates its own buffer in place (see XAttnGPT.forward_chunk)."""
         x = chunk_tokens + self.positions_embed(jnp.clip(chunk_position_ids, 0, None))
-        d = self.n_embd // self.n_head
         new_ks, new_vs = [], []
         for i, block in enumerate(self.h):
-            q, k, v = block._qkv(x)
-            nk = jax.lax.dynamic_update_slice(
-                cache_k[i], k.astype(cache_k[i].dtype), (0, 0, write_index, 0)
-            )
-            nv = jax.lax.dynamic_update_slice(
-                cache_v[i], v.astype(cache_v[i].dtype), (0, 0, write_index, 0)
+            x, nk, nv = block.forward_cached(
+                x, cache_k[i], cache_v[i], write_index, cache_mask
             )
             new_ks.append(nk)
             new_vs.append(nv)
-            ctx = attend(
-                q,
-                nk,
-                nv,
-                scale=1.0 / math.sqrt(d),
-                causal=True,
-                q_offset=write_index,
-                key_mask=cache_mask,
-            )
-            x = block._finish(x, ctx)
         return x, tuple(new_ks), tuple(new_vs)

@@ -189,10 +189,13 @@ def generate_anchors(
     for (fh, fw), stride, size in zip(grid_hw, strides, sizes):
         hr = np.sqrt(np.asarray(ratios))
         wr = 1.0 / hr
-        ws = np.round(wr * size)
-        hs = np.round(hr * size)
-        cell = np.stack([-ws / 2, -hs / 2, ws / 2, hs / 2], axis=1)  # (A, 4)
-        cell = np.round(cell)
+        # torchvision AnchorGenerator rounds ONCE, on the half-extents:
+        # round((wr*size)/2) — rounding ws first and again after halving
+        # shifts every non-unit-ratio anchor by 1-2 px/side (e.g. size 32
+        # ratio 0.5: [-23,-11,23,11], not [-22,-12,22,12]).
+        ws = wr * size
+        hs = hr * size
+        cell = np.round(np.stack([-ws / 2, -hs / 2, ws / 2, hs / 2], axis=1))  # (A, 4)
         sx = np.arange(fw) * stride
         sy = np.arange(fh) * stride
         shift_x, shift_y = np.meshgrid(sx, sy)

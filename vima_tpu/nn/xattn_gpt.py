@@ -20,6 +20,13 @@ step — scripts/example.py:184, §3.3 of the survey):
   * ``forward_chunk``     — processes only the new chunk of tokens against a
     fixed-capacity KV cache; per-step cost is O(chunk), not O(history).
 Both paths produce identical math (softmax over the same key sets).
+
+Cache layout: all caches (self-attn KV and prompt KV) are **E-contiguous**
+``(B, S, H*D)`` — the head split lives inside the attention op
+(ops.decode_attention). A head-split ``(B, H, S, D)`` cache with D = 64
+pads to 128 lanes on TPU and doubles every cache read/write (measured on
+v5e: the round-2 layout spent more HBM time on cache traffic than on all
+the matmuls combined at B=64).
 """
 
 from __future__ import annotations
@@ -69,6 +76,20 @@ class XAttentionLayer(nn.Module):
         k, v = jnp.split(kv, 2, axis=-1)
         return split_heads(k, self.num_heads), split_heads(v, self.num_heads)
 
+    def compute_kv_flat(self, kv_tokens):
+        """E-contiguous prompt K, V for the cached path: (B, Lp, E) each."""
+        kv = self.key_value(kv_tokens)
+        k, v = jnp.split(kv, 2, axis=-1)
+        return k, v
+
+    def _ff(self, attn_out):
+        ff = self.ln(attn_out)
+        ff = gelu_exact(self.linear1(ff))
+        if self.use_geglu:
+            # Gate reads the post-residual activation (components.py:224).
+            ff = ff * self.gated_layer(attn_out)
+        return self.linear2(ff) + attn_out
+
     def attend_out(self, q_tokens, k, v, kv_mask):
         """q_tokens: (B, L, E); k/v: (B, H, Lk, D); kv_mask bool (B, Lk)."""
         d = self.dim // self.num_heads
@@ -81,14 +102,25 @@ class XAttentionLayer(nn.Module):
             key_mask=kv_mask,
         )
         attn_out = self.attention_out(merge_heads(ctx)) + q_tokens
+        return self._ff(attn_out)
 
-        ff = self.ln(attn_out)
-        ff = gelu_exact(self.linear1(ff))
-        if self.use_geglu:
-            # Gate reads the post-residual activation (components.py:224).
-            ff = ff * self.gated_layer(attn_out)
-        ff = self.linear2(ff)
-        return ff + attn_out
+    def attend_out_cached(self, q_tokens, k_flat, v_flat, kv_mask):
+        """Cached-path cross-attention against E-contiguous prompt K/V
+        (B, Lp, E); same math as :meth:`attend_out`."""
+        from vima_tpu.ops.decode_attention import cached_attend
+
+        d = self.dim // self.num_heads
+        queries = self.query(self.layernorm(q_tokens))
+        ctx = cached_attend(
+            split_heads(queries, self.num_heads),
+            k_flat,
+            v_flat,
+            scale=1.0 / math.sqrt(d),
+            slot_mask=kv_mask,
+            causal=False,
+        )
+        attn_out = self.attention_out(merge_heads(ctx)) + q_tokens
+        return self._ff(attn_out)
 
     def __call__(self, q_tokens, kv_tokens, kv_mask):
         k, v = self.compute_kv(kv_tokens)
@@ -144,26 +176,39 @@ class GPTBlock(nn.Module):
         ctx = attend(q, k, v, scale=1.0 / math.sqrt(d), causal=True, key_mask=key_mask)
         return self._finish(x, ctx)
 
+    def _qkv_flat(self, x):
+        """q head-split (B, H, C, D); k, v E-contiguous (B, C, E)."""
+        qkv = self.c_attn(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        return split_heads(q, self.num_heads), k, v
+
     def forward_cached(self, x, cache_k, cache_v, write_index, cache_mask):
         """Process chunk ``x`` (B, C, E) against a fixed-capacity cache.
 
-        cache_k/v: (B, H, S, D); cache_mask: bool (B, S) slot-validity mask
-        already including this chunk. The chunk's K/V are written at
-        ``write_index`` before attending, so the chunk attends to itself
-        causally. Returns (out, new_cache_k, new_cache_v).
+        cache_k/v: E-contiguous (B, S, E); cache_mask: bool (B, S)
+        slot-validity mask already including this chunk. The chunk's K/V
+        are written at ``write_index`` before attending, so the chunk
+        attends to itself causally. Returns (out, new_cache_k, new_cache_v).
         """
-        q, k, v = self._qkv(x)
-        new_k = jax.lax.dynamic_update_slice(cache_k, k, (0, 0, write_index, 0))
-        new_v = jax.lax.dynamic_update_slice(cache_v, v, (0, 0, write_index, 0))
+        from vima_tpu.ops.decode_attention import cached_attend
+
+        q, k, v = self._qkv_flat(x)
+        new_k = jax.lax.dynamic_update_slice(
+            cache_k, k.astype(cache_k.dtype), (0, write_index, 0)
+        )
+        new_v = jax.lax.dynamic_update_slice(
+            cache_v, v.astype(cache_v.dtype), (0, write_index, 0)
+        )
         d = self.dim // self.num_heads
-        ctx = attend(
+        ctx = cached_attend(
             q,
             new_k,
             new_v,
             scale=1.0 / math.sqrt(d),
-            causal=True,
+            slot_mask=cache_mask,
+            valid_len=write_index + x.shape[1],
             q_offset=write_index,
-            key_mask=cache_mask,
+            causal=True,
         )
         return self._finish(x, ctx), new_k, new_v
 
@@ -253,14 +298,15 @@ class XAttnGPT(nn.Module):
     def encode_prompt_kv(self, prompt_tokens, prompt_position_ids=None):
         """Per-layer prompt K/V, computed once per episode.
 
-        Returns (k, v): tuples of n_layer arrays, each (B, Hx, Lp, Dx).
-        Per-layer pytrees (not a stacked array): every cache consumer then
+        Returns (k, v): tuples of n_layer arrays, each E-contiguous
+        (B, Lp, E) — see the module docstring on cache layout. Per-layer
+        pytrees (not a stacked array): every cache consumer then
         reads/writes its own buffer directly, with no per-step stack/slice
         copies of the full cache."""
         prompt = self._embed_prompt(prompt_tokens, prompt_position_ids)
         ks, vs = [], []
         for xattn in self.xattns:
-            k, v = xattn.compute_kv(prompt)
+            k, v = xattn.compute_kv_flat(prompt)
             ks.append(k)
             vs.append(v)
         return tuple(ks), tuple(vs)
@@ -278,8 +324,8 @@ class XAttnGPT(nn.Module):
         cache_mask: jnp.ndarray,
         write_index,
     ):
-        """Cached step: chunk (B, C, E) against per-layer caches
-        (tuples of (B, H, S, D)).
+        """Cached step: chunk (B, C, E) against per-layer E-contiguous
+        caches (tuples of (B, S, E)).
 
         ``cache_mask`` is the bool slot-validity mask over all S slots and
         must already include the chunk's own mask (the caller updates it
@@ -290,30 +336,14 @@ class XAttnGPT(nn.Module):
         scan/donated carries; a stacked cache would force whole-cache
         stack/slice copies (hundreds of MB at batch) every step.
         """
-        import math as _math
-
         x = chunk_tokens + self.positions_embed(jnp.clip(chunk_position_ids, 0, None))
         new_ks, new_vs = [], []
-        d = self.embd_dim // self.n_head
         for i, (xattn, block) in enumerate(zip(self.xattns, self.h)):
-            x = xattn.attend_out(x, prompt_k[i], prompt_v[i], prompt_mask)
-            q, k, v = block._qkv(x)
-            nk = jax.lax.dynamic_update_slice(
-                cache_k[i], k.astype(cache_k[i].dtype), (0, 0, write_index, 0)
-            )
-            nv = jax.lax.dynamic_update_slice(
-                cache_v[i], v.astype(cache_v[i].dtype), (0, 0, write_index, 0)
+            x = xattn.attend_out_cached(x, prompt_k[i], prompt_v[i], prompt_mask)
+            out, nk, nv = block.forward_cached(
+                x, cache_k[i], cache_v[i], write_index, cache_mask
             )
             new_ks.append(nk)
             new_vs.append(nv)
-            ctx = attend(
-                q,
-                nk,
-                nv,
-                scale=1.0 / _math.sqrt(d),
-                causal=True,
-                q_offset=write_index,
-                key_mask=cache_mask,
-            )
-            x = block._finish(x, ctx)
+            x = out
         return x, tuple(new_ks), tuple(new_vs)

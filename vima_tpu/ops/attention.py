@@ -46,6 +46,27 @@ def set_flash_enabled(flag: bool) -> None:
     _USE_FLASH = bool(flag)
 
 
+def flash_enabled() -> bool:
+    return _USE_FLASH
+
+
+# The fused decode kernel (ops/decode_attention) is gated separately from
+# the full-sequence flash kernel: measured on v5e (see BENCH notes), XLA's
+# fusion of the small-chunk cached attend is faster than the Pallas decode
+# kernel at every production shape, so it defaults OFF and exists as the
+# valid-prefix-skipping reference implementation.
+_USE_DECODE_KERNEL = False
+
+
+def set_decode_kernel_enabled(flag: bool) -> None:
+    global _USE_DECODE_KERNEL
+    _USE_DECODE_KERNEL = bool(flag)
+
+
+def decode_kernel_enabled() -> bool:
+    return _USE_DECODE_KERNEL
+
+
 # Trace-time kernel-dispatch counters: {(path, Lq, Lk, tile_wants_flash): n}.
 # ``tile_wants_flash`` is the pure shape test (independent of backend/enable
 # flags), so a benchmark can fail loudly when a flash-worthy shape silently

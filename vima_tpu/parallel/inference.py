@@ -27,7 +27,7 @@ def shard_batch(tree: Any, mesh: Mesh):
 def shard_rollout_state(state, mesh: Mesh):
     """Place a RolloutState so batch-major leaves shard over ``dp``.
 
-    prompt/self-attn caches are (B, H, S, D) per layer -> P('dp');
+    prompt/self-attn caches are E-contiguous (B, S, E) per layer -> P('dp');
     masks/counters are (B, ...) -> P('dp'); the scalar write_index
     replicates. Same rule as any data batch."""
     return jax.device_put(state, data_sharding(mesh, state))

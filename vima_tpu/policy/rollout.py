@@ -33,10 +33,10 @@ from vima_tpu.nn.action import action_mode
 class RolloutState:
     """Per-episode device state (a pytree; donated through jit)."""
 
-    prompt_k: tuple  # n_layer x (B, Hx, Lp, Dx)
+    prompt_k: tuple  # n_layer x (B, Lp, E) — E-contiguous (see nn/xattn_gpt.py)
     prompt_v: tuple
     prompt_mask: jnp.ndarray  # (B, Lp) bool
-    cache_k: tuple  # n_layer x (B, H, S, D)
+    cache_k: tuple  # n_layer x (B, S, E) — E-contiguous
     cache_v: tuple
     slot_mask: jnp.ndarray  # (B, S) bool
     write_index: jnp.ndarray  # () int32
@@ -98,13 +98,11 @@ def encode_prompt(
       ``mask`` (B, Lp) bool  — assembled prompt mask (host-computed from
       token types and per-object masks, reference vima_policy.py:168-231).
     capacity: self-attn KV capacity S (static).
-    cache_dtype: KV-cache storage dtype (static); default fp32 even for
-      bf16 policies — measured on v5e (B=64, cap 512, 200M config): a bf16
-      cache is ~25% SLOWER per step (14.1 vs 11.4 ms) despite half the
-      traffic, because the (16,128)-tiled bf16 buffers make the unaligned
-      17-row chunk updates and D=64 reads pay more than the bandwidth
-      saved. Pass bf16 explicitly when cache HBM footprint is the binding
-      constraint. Attention logits stay fp32 either way.
+    cache_dtype: KV-cache storage dtype (static); defaults to the policy's
+      activation dtype. (Round 2 defaulted fp32 because the head-split
+      (B, H, S, 64) layout made bf16 cache tiles pathological; the
+      E-contiguous (B, S, E) layout removed that, so bf16 policies now get
+      the halved cache traffic.) Attention logits stay fp32 either way.
     Returns (prompt_tokens (B, Lp, E), RolloutState).
     """
     apply = lambda method, *a, **kw: policy.apply(params, *a, method=method, **kw)
@@ -115,15 +113,14 @@ def encode_prompt(
 
     B = prompt_tokens.shape[0]
     n_layer = policy.xf_n_layers
-    H = policy.sattn_n_heads
-    D = policy.embed_dim // H
-    cdt = cache_dtype or jnp.float32
+    E = policy.embed_dim
+    cdt = cache_dtype or policy.dtype
     state = RolloutState(
         prompt_k=jax.tree_util.tree_map(lambda x: x.astype(cdt), pk),
         prompt_v=jax.tree_util.tree_map(lambda x: x.astype(cdt), pv),
         prompt_mask=prompt_mask,
-        cache_k=tuple(jnp.zeros((B, H, capacity, D), cdt) for _ in range(n_layer)),
-        cache_v=tuple(jnp.zeros((B, H, capacity, D), cdt) for _ in range(n_layer)),
+        cache_k=tuple(jnp.zeros((B, capacity, E), cdt) for _ in range(n_layer)),
+        cache_v=tuple(jnp.zeros((B, capacity, E), cdt) for _ in range(n_layer)),
         slot_mask=jnp.zeros((B, capacity), bool),
         write_index=jnp.int32(0),
         pos_count=jnp.zeros((B,), jnp.int32),

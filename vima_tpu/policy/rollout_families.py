@@ -37,10 +37,14 @@ from vima_tpu.policy.rollout import (
 # ------------------------------------------------------------------ Flamingo
 
 
-@functools.partial(jax.jit, static_argnums=(0, 5))
-def encode_prompt_flamingo(policy, params, word_batch, image_batch, gather, capacity: int):
+@functools.partial(jax.jit, static_argnums=(0, 5, 6))
+def encode_prompt_flamingo(
+    policy, params, word_batch, image_batch, gather, capacity: int, cache_dtype=None
+):
     """image_batch: {"rgb": {view: (n_imgs, 3, H, W)}}; gather as in
-    rollout.encode_prompt with n_objs_max = num_queries (all valid)."""
+    rollout.encode_prompt with n_objs_max = num_queries (all valid).
+    cache_dtype defaults to the policy's activation dtype (see
+    rollout.encode_prompt)."""
     apply = lambda method, *a, **kw: policy.apply(params, *a, method=method, **kw)
     prompt_tokens, prompt_mask = assemble_prompt(apply, word_batch, image_batch, gather)
     prompt_tokens = apply("encode_prompt_assembled", prompt_tokens, prompt_mask)
@@ -51,20 +55,14 @@ def encode_prompt_flamingo(policy, params, word_batch, image_batch, gather, capa
 
     B = prompt_tokens.shape[0]
     n_layer = policy.dt_n_layers
-    H = policy.dt_n_heads
-    D = policy.embed_dim // H
-    # fp32 cache storage even for bf16 policies (see rollout.encode_prompt:
-    # bf16-tiled cache buffers measured slower on v5e).
+    E = policy.embed_dim
+    cdt = cache_dtype or policy.dtype
     state = RolloutState(
-        prompt_k=pk,
-        prompt_v=pv,
+        prompt_k=jax.tree_util.tree_map(lambda x: x.astype(cdt), pk),
+        prompt_v=jax.tree_util.tree_map(lambda x: x.astype(cdt), pv),
         prompt_mask=prompt_mask,
-        cache_k=tuple(
-            jnp.zeros((B, H, capacity, D), jnp.float32) for _ in range(n_layer)
-        ),
-        cache_v=tuple(
-            jnp.zeros((B, H, capacity, D), jnp.float32) for _ in range(n_layer)
-        ),
+        cache_k=tuple(jnp.zeros((B, capacity, E), cdt) for _ in range(n_layer)),
+        cache_v=tuple(jnp.zeros((B, capacity, E), cdt) for _ in range(n_layer)),
         slot_mask=jnp.zeros((B, capacity), bool),
         write_index=jnp.int32(0),
         pos_count=jnp.zeros((B,), jnp.int32),
@@ -125,7 +123,7 @@ def rollout_step_flamingo_packed(policy, params, state: RolloutState, rgb: Dict,
 
 @struct.dataclass
 class DecoderRolloutState:
-    cache_k: tuple  # n_layer x (B, H, S, D)
+    cache_k: tuple  # n_layer x (B, S, E) — E-contiguous (see nn/xattn_gpt.py)
     cache_v: tuple
     slot_mask: jnp.ndarray  # (B, S)
     write_index: jnp.ndarray  # ()
@@ -134,12 +132,15 @@ class DecoderRolloutState:
     has_action: jnp.ndarray  # (B,)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 5))
-def encode_prompt_decoder_only(policy, params, word_batch, image_batch, gather, capacity: int):
+@functools.partial(jax.jit, static_argnums=(0, 5, 6))
+def encode_prompt_decoder_only(
+    policy, params, word_batch, image_batch, gather, capacity: int, cache_dtype=None
+):
     """Prefill [prompt | sep] into the causal KV cache (Gato / GPT).
 
     Prompt positions: arange frozen at n_valid-1 over pads; sep at n_valid
-    (reference vima_gato_policy.py:156-184)."""
+    (reference vima_gato_policy.py:156-184). cache_dtype defaults to the
+    policy's activation dtype (see rollout.encode_prompt)."""
     apply = lambda method, *a, **kw: policy.apply(params, *a, method=method, **kw)
     prompt_tokens, prompt_mask = assemble_prompt(apply, word_batch, image_batch, gather)
     prompt_tokens = apply("encode_prompt_assembled", prompt_tokens, prompt_mask)  # (B, Lp, E)
@@ -155,15 +156,10 @@ def encode_prompt_decoder_only(policy, params, word_batch, image_batch, gather, 
     positions = jnp.concatenate([prompt_pos, n_valid[:, None]], axis=1)
 
     n_layer = policy.n_layer
-    H = policy.n_head
-    D = policy.embed_dim // H
-    # fp32 cache storage even for bf16 policies (see rollout.encode_prompt).
-    cache_k = tuple(
-        jnp.zeros((B, H, capacity, D), jnp.float32) for _ in range(n_layer)
-    )
-    cache_v = tuple(
-        jnp.zeros((B, H, capacity, D), jnp.float32) for _ in range(n_layer)
-    )
+    E = policy.embed_dim
+    cdt = cache_dtype or policy.dtype
+    cache_k = tuple(jnp.zeros((B, capacity, E), cdt) for _ in range(n_layer))
+    cache_v = tuple(jnp.zeros((B, capacity, E), cdt) for _ in range(n_layer))
     slot_mask = jnp.zeros((B, capacity), bool)
     slot_mask = jax.lax.dynamic_update_slice(
         slot_mask,
