@@ -255,3 +255,130 @@ def test_golden_t5_ids_if_vendored():
     assert [int(i) for i in ids] == golden["word_ids"]
     assert [int(t) for t in types] == golden["token_types"]
     assert list(names) == golden["placeholders"]
+
+
+def _tiny_vima_policy():
+    from vima_tpu.nn.t5 import T5Config
+    from vima_tpu.policy import VIMAPolicy, init_params
+
+    policy = VIMAPolicy(
+        embed_dim=64, xf_n_layers=1, sattn_n_heads=4, xattn_n_heads=4,
+        vit_width=32, vit_layers=1, vit_heads=2, vit_output_dim=32,
+        bbox_mlp_hidden_dim=32,
+        t5_cfg=T5Config(d_model=48, d_ff=96, num_layers=1, num_heads=4, d_kv=12, vocab_size=64),
+        vocab_size=64,
+    )
+    return policy, init_params(policy)
+
+
+class CrashOnceEnv(FakeVimaEnv):
+    """Deterministic env whose step() raises exactly once at ``crash_at``
+    (before advancing); reset() reseeds the obs stream so the restarted
+    episode is reproducible."""
+
+    def __init__(self, *, crash_at: int, **kw):
+        super().__init__(**kw)
+        self._crash_at = crash_at
+        self._crashed = False
+
+    def reset(self):
+        self._rng = np.random.default_rng(self.task.seed)
+        return super().reset()
+
+    def step(self, action):
+        if not self._crashed and self._steps == self._crash_at:
+            self._crashed = True
+            raise RuntimeError("synthetic simulator crash")
+        return super().step(action)
+
+
+def test_fault_rejoin_env_finishes_episode():
+    """A step() crash re-resets the env and REJOINS it: its cache slots are
+    mask-restored to the post-encode snapshot and the restarted episode runs
+    to its own terminal, while the healthy env is untouched
+    (env_loop docstring's fault-isolation promise, VERDICT r2 weak #7)."""
+    from vima_tpu.bridge.env_loop import run_episode_batch
+    from vima_tpu.bridge.tokenizer import PromptTokenizer
+
+    policy, params = _tiny_vima_policy()
+    tok = PromptTokenizer(tokenizer_path=None, vocab_size=64)
+    tok._tok = None
+
+    ms = 3
+    envs = [
+        CrashOnceEnv(crash_at=1, seed=0, oracle_max_steps=ms, n_objects=3),
+        FakeVimaEnv(seed=1, oracle_max_steps=ms, n_objects=3),
+    ]
+    results = run_episode_batch(
+        policy, params, envs, tokenize_prompt=tok, max_objs=4, capacity=128
+    )
+    crashed, healthy = results
+    assert crashed["restarts"] == 1
+    assert crashed["done"], "restarted env must finish its (fresh) episode"
+    # 1 pre-crash step + a full fresh episode after the re-reset
+    assert crashed["steps"] == 1 + ms
+    assert healthy["restarts"] == 0 and healthy["done"] and healthy["steps"] == ms
+
+
+def test_fault_rejoin_decoder_only_keeps_prefill():
+    """Decoder-only families prefill the prompt into the causal cache; the
+    re-join snapshot must preserve those slots (a blanket slot clear would
+    silently drop the prompt)."""
+    from vima_tpu.bridge.env_loop import run_episode_batch
+    from vima_tpu.bridge.tokenizer import PromptTokenizer
+    from vima_tpu.nn.t5 import T5Config
+    from vima_tpu.policy import VIMAGPTPolicy, init_params
+
+    t5 = T5Config(d_model=48, d_ff=96, num_layers=1, num_heads=4, d_kv=12, vocab_size=64)
+    policy = VIMAGPTPolicy(
+        n_layer=1, n_head=4, embed_dim=64, img_size=(32, 64), vit_patch_size=16,
+        vit_width=32, vit_layers=1, vit_heads=2, t5_cfg=t5, vocab_size=64,
+    )
+    params = init_params(policy)
+    tok = PromptTokenizer(tokenizer_path=None, vocab_size=64)
+    tok._tok = None
+
+    ms = 3
+    envs = [
+        CrashOnceEnv(crash_at=1, seed=0, oracle_max_steps=ms, n_objects=3),
+        FakeVimaEnv(seed=1, oracle_max_steps=ms, n_objects=3),
+    ]
+    results = run_episode_batch(
+        policy, params, envs, tokenize_prompt=tok, max_objs=4, capacity=256
+    )
+    assert results[0]["restarts"] == 1 and results[0]["done"]
+    assert results[0]["steps"] == 1 + ms
+
+
+def test_n_streams_param_and_autotune():
+    """Explicit n_streams splits the batch into that many pipelined streams;
+    n_streams=None auto-tunes from the previous call's measured timings
+    (first call defaults to 2) and records the choice in the results."""
+    from vima_tpu.bridge import env_loop
+    from vima_tpu.bridge.env_loop import run_episode_batch
+    from vima_tpu.bridge.tokenizer import PromptTokenizer
+
+    policy, params = _tiny_vima_policy()
+    tok = PromptTokenizer(tokenizer_path=None, vocab_size=64)
+    tok._tok = None
+
+    def make_envs():
+        return [FakeVimaEnv(seed=i, oracle_max_steps=3, n_objects=3) for i in range(4)]
+
+    r4 = run_episode_batch(
+        policy, params, make_envs(), tokenize_prompt=tok, max_objs=4,
+        capacity=128, n_streams=4,
+    )
+    assert all(r["n_streams"] == 4 for r in r4)
+    assert all(r["done"] for r in r4)
+
+    env_loop._STREAM_TUNE.clear()
+    r_auto = run_episode_batch(
+        policy, params, make_envs(), tokenize_prompt=tok, max_objs=4, capacity=128
+    )
+    assert all(r["n_streams"] == 2 for r in r_auto)  # first call: default 2
+    # the call recorded tune stats; a second auto call must pick a divisor of B
+    key = (id(policy), 4)
+    assert key in env_loop._STREAM_TUNE
+    n = env_loop._auto_streams(key, 4)
+    assert n in (1, 2, 4)

@@ -10,13 +10,21 @@ Replaces the reference harness loop (scripts/example.py:100-240) with:
     episodes with different prompts reuse the compiled executable (the
     reference recompiles nothing because it never compiles; here a stray
     shape costs minutes on the remote-compile service);
-  * a two-stream software pipeline: while the device runs one half-batch's
-    policy step, the host steps the other half's simulators and preps the
-    next observations (survey §7 "host/device pipelining");
+  * an N-stream software pipeline: while the device runs one sub-batch's
+    policy step, the host steps the other sub-batches' simulators and preps
+    their next observations (survey §7 "host/device pipelining"). The
+    stream count is a parameter; ``n_streams=None`` auto-tunes it from the
+    previous call's measured per-dispatch wall vs device-step time
+    (``ceil(period / device_step)``, the count that keeps the device fed
+    while each stream waits out the host<->device round trip);
   * done envs stop paying host work (no env.step / obs prep; their batch
     slot replays the last prepared obs to keep device shapes static);
-  * per-env fault isolation: a crashing env is re-reset without killing the
-    batch (survey §5 "failure detection");
+  * per-env fault isolation: an env whose ``step`` raises is re-reset and
+    REJOINS the batch — its cache slots are mask-cleared and its positions/
+    action state restart at zero (numerically a fresh episode against the
+    already-encoded prompt), so one crashing simulator costs one episode
+    restart, not the batch. If the reset itself fails, the env is marked
+    done-failed and its slot replays (last-resort isolation);
   * reset fault tolerance + time limits matching the reference wrappers
     (example.py:476-496);
   * structured per-episode metrics (JSONL-able dicts) — the reference has
@@ -57,6 +65,64 @@ PROMPT_LEN_BUCKET = 32
 
 def _ceil_to(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
+
+
+# --- stream auto-tuning -----------------------------------------------------
+# Keyed by (policy id, total envs): the previous call's measured per-stream
+# step period and device-step estimate. A closed-loop env step's critical
+# path is irreducibly  device_step + fetch_RTT + host_work  (the action must
+# cross the tunnel before the simulator can produce the next obs), so extra
+# streams only help until the device is fed: n ~= ceil(period / device_step).
+# The tunneled-TPU RTT is ~30 ms (CLAUDE.md), device steps ~10-15 ms, so the
+# tuned count lands at 3-5; the first call (nothing measured yet) uses 2.
+_STREAM_TUNE: Dict = {}
+_MAX_STREAMS = 8
+
+
+@jax.jit
+def _tiny(x):
+    return x + 1
+
+
+def _measure_rtt() -> float:
+    """One tiny jitted fetch: the pure host<->device round trip."""
+    float(_tiny(jnp.zeros(())))  # compile/settle
+    t0 = time.perf_counter()
+    float(_tiny(jnp.zeros(())))
+    return time.perf_counter() - t0
+
+
+def _auto_streams(tune_key, B: int) -> int:
+    rec = _STREAM_TUNE.get(tune_key)
+    if rec is None or rec["device_step"] <= 0:
+        target = 2
+    else:
+        target = int(np.ceil(rec["period"] / rec["device_step"]))
+    target = max(1, min(target, _MAX_STREAMS, B))
+    # prefer an equal split (unequal sub-batches compile extra executables)
+    divisors = [n for n in range(1, B + 1) if B % n == 0]
+    return min(divisors, key=lambda n: (abs(n - target), -n))
+
+
+@jax.jit
+def _reset_slots(state, reset_mask, init_slot_mask, init_pos_count):
+    """Per-slot state reset for fault re-join (reset_mask: bool (B,)):
+    restores the env's slot-validity mask and position counter to their
+    post-prompt-encode snapshot and zeroes its action state. Stale cache
+    contents stay, but masked slots contribute exactly 0 probability
+    (fp32-min additive bias), so the restarted episode is numerically fresh
+    against the already-encoded prompt — including decoder-only families,
+    whose prompt prefill slots the snapshot preserves. Compiled only when a
+    fault occurs."""
+    zeroed_actions = {
+        k: jnp.where(reset_mask[:, None], 0, v) for k, v in state.last_action.items()
+    }
+    return state.replace(
+        slot_mask=jnp.where(reset_mask[:, None], init_slot_mask, state.slot_mask),
+        pos_count=jnp.where(reset_mask, init_pos_count, state.pos_count),
+        has_action=jnp.where(reset_mask, False, state.has_action),
+        last_action=zeroed_actions,
+    )
 
 
 class ResetFaultTolerance:
@@ -194,6 +260,7 @@ def run_episode_batch(
     detector=None,
     env_workers: int = 0,
     pipeline: bool = True,
+    n_streams: Optional[int] = None,
 ) -> List[Dict]:
     """Run one episode on each env, batched through one jitted policy.
 
@@ -201,8 +268,10 @@ def run_episode_batch(
     and the baselines' raw-RGB feed) via ``bridge.adapters.get_adapter``.
     All envs share prompt/object capacity buckets (padded), so repeat calls
     with different prompts hit the compile cache. With ``pipeline`` and
-    >=2 envs, the batch is split into two streams whose policy steps and
-    host work (simulator stepping + obs prep) overlap.
+    >=2 envs, the batch is split into ``n_streams`` streams whose policy
+    steps and host work (simulator stepping + obs prep) overlap;
+    ``n_streams=None`` auto-tunes the count from the previous call's
+    measured step period vs device-step time (see ``_auto_streams``).
 
     tokenize_prompt(prompt) -> (token_ids, token_types, placeholder_names):
       token_types[i]==0 for word i (consuming token_ids in order), ==1 for a
@@ -239,7 +308,12 @@ def run_episode_batch(
 
     # --- split into streams, then one bucketed encode per stream
     views = adapter.views
-    n_streams = 2 if (pipeline and B >= 2) else 1
+    tune_key = (id(policy), B)
+    if not pipeline or B < 2:
+        n_streams = 1
+    elif n_streams is None:
+        n_streams = _auto_streams(tune_key, B)
+    n_streams = max(1, min(int(n_streams), B))
     half = (B + n_streams - 1) // n_streams
     groups = [list(range(i, min(i + half, B))) for i in range(0, B, half)]
 
@@ -281,13 +355,26 @@ def run_episode_batch(
             n_imgs_pad=n_imgs_pad,
             lp_pad=lp_pad,
         )
-        streams.append({"ids": g, "state": state, "inflight": None, "steps": 0})
+        streams.append(
+            {
+                "ids": g,
+                "state": state,
+                "inflight": None,
+                "steps": 0,
+                # post-encode snapshots for fault re-join (_reset_slots);
+                # copies, because the step functions donate the state buffers
+                "init_slot_mask": jnp.copy(state.slot_mask),
+                "init_pos_count": jnp.copy(state.pos_count),
+            }
+        )
 
     results = [
-        {"steps": 0, "success": False, "done": False, "step_latencies": []}
+        {"steps": 0, "success": False, "done": False, "restarts": 0, "step_latencies": []}
         for _ in range(B)
     ]
     done = np.zeros(B, dtype=bool)
+    rtt = _measure_rtt()
+    fetch_dts: List[float] = []  # stream-0 steady-state fetch walls (tuning)
     pool = (
         concurrent.futures.ThreadPoolExecutor(env_workers) if env_workers > 1 else None
     )
@@ -319,10 +406,19 @@ def run_episode_batch(
         try:
             obs, _, d, info = env.step(env_action)
         except Exception:
-            # per-env fault isolation: mark failed, keep the batch alive
-            return b, obs_list[b], True, {"success": False}, None
+            # per-env fault isolation: re-reset and REJOIN — the env restarts
+            # its episode in place (its cache slots are mask-cleared by
+            # _complete via reset_slots). ResetFaultTolerance (if wrapped)
+            # retries the reset itself.
+            try:
+                obs = env.reset()
+            except Exception:
+                # last resort: reset won't come back either — mark failed,
+                # keep the batch alive
+                return b, obs_list[b], True, {"success": False}, None, False
+            return b, obs, False, {}, _prep(b, obs), True
         prep = None if d else _prep(b, obs)
-        return b, obs, d, info, prep
+        return b, obs, d, info, prep, False
 
     def _complete(s):
         """Fetch the stream's packed actions (ONE D2H transfer — blocks on
@@ -348,9 +444,15 @@ def run_episode_batch(
             if pool is not None and len(tasks) > 1
             else [_env_task(t) for t in tasks]
         )
-        for b, obs, d, info, prep in stepped:
+        restarted = []
+        for b, obs, d, info, prep, was_restart in stepped:
             results[b]["step_latencies"].append(dt)
             obs_list[b] = obs
+            if was_restart:
+                results[b]["restarts"] += 1
+                restarted.append(b)
+                prepared[b] = prep
+                continue  # the crashed step advanced nothing
             results[b]["steps"] += 1
             if d:
                 done[b] = True
@@ -358,7 +460,22 @@ def run_episode_batch(
                 results[b]["success"] = bool(info.get("success", False))
             else:
                 prepared[b] = prep
+        if restarted:
+            reset_mask = jnp.asarray(
+                np.isin(np.asarray(s["ids"]), restarted), bool
+            )
+            s["state"] = _reset_slots(
+                s["state"], reset_mask, s["init_slot_mask"], s["init_pos_count"]
+            )
         s["steps"] += 1
+        if s is streams[0] and s["steps"] > 2:
+            fetch_dts.append(dt)
+
+    # Stream step budget: the episode limit, extended to whatever the KV
+    # capacity actually holds (the bucketed capacity usually has slack) so a
+    # fault-restarted env can finish its fresh episode. Every env still stops
+    # at its own TimeLimit/terminal; this only caps cache writes.
+    stream_budget = max(_limit, (capacity - prefill) // _chunk)
 
     def _drive(s):
         """Complete/redispatch loop for one stream. Each stream runs on its
@@ -370,7 +487,7 @@ def run_episode_batch(
         dispatch/fetch are thread-safe."""
         while s["inflight"] is not None:
             _complete(s)
-            if s["steps"] < _limit and not all(done[b] for b in s["ids"]):
+            if s["steps"] < stream_budget and not all(done[b] for b in s["ids"]):
                 _dispatch(s)
 
     try:
@@ -387,8 +504,23 @@ def run_episode_batch(
             pool.shutdown()
 
     wall = time.perf_counter() - t_start
+    # record tuning stats for the next auto-tuned call: per-stream step
+    # period and a device-step estimate (min steady-state fetch wall minus
+    # the tunnel RTT — a fetch always rides behind its own dispatch's device
+    # execution, so min(dt) - rtt lower-bounds the device step).
+    steps0 = streams[0]["steps"]
+    if fetch_dts:
+        _STREAM_TUNE[tune_key] = {
+            "period": wall / steps0,
+            "device_step": max(float(np.min(fetch_dts)) - rtt, 2e-3),
+            "rtt": rtt,
+            "n_streams": n_streams,
+        }
+    dispatches = sum(s["steps"] for s in streams)
     for b in range(B):
         lat = results[b].pop("step_latencies")
         results[b]["p50_step_latency_ms"] = float(np.percentile(lat, 50) * 1e3) if lat else None
         results[b]["wall_time_s"] = wall
+        results[b]["n_streams"] = n_streams
+        results[b]["dispatches"] = dispatches
     return results
