@@ -310,27 +310,54 @@ def bench_ours():
                 "env_steps_per_sec": round(nb * 1e3 / p50, 1),
                 "tokens_per_sec": round(nb * (Q + 1) * 1e3 / p50, 1),
             }
-            if name == "bf16":
-                fl = _flops_per_call(bench_episodes, pol, (par, st_b, obj_b, ee_b))
-                if fl is not None:
-                    per_step = fl  # while bodies counted once: raw == one step
-                    entry[name]["flops_per_step"] = round(per_step)
-                    entry[name]["tflops_per_sec"] = round(per_step / (p50 / 1e3) / 1e12, 2)
-                    if peak:
-                        entry[name]["est_mfu"] = round(per_step / (p50 / 1e3) / peak, 4)
+            # FLOPs/MFU for BOTH dtypes: identical MFU between fp32 and bf16
+            # localizes the bottleneck (memory/dispatch-bound, not MXU).
+            fl = _flops_per_call(bench_episodes, pol, (par, st_b, obj_b, ee_b))
+            if fl is not None:
+                per_step = fl  # while bodies counted once: raw == one step
+                entry[name]["flops_per_step"] = round(per_step)
+                entry[name]["tflops_per_sec"] = round(per_step / (p50 / 1e3) / 1e12, 2)
+                if peak:
+                    entry[name]["est_mfu"] = round(per_step / (p50 / 1e3) / peak, 4)
             _phase(f"scan {name} B={nb}")
         batched[str(nb)] = entry
 
+    skip = set(os.environ.get("BENCH_SKIP", "").split(","))
+
     # ---- closed loop: 8 fake envs through the pipelined bridge loop
-    closed = _bench_closed_loop(policy, params, capacity)
-    _phase("closed loop 8 envs")
+    closed = None
+    if "closed" not in skip:
+        closed = _bench_closed_loop(policy, params, capacity)
+        _phase("closed loop 8 envs")
+
+    prompt_group = None
+    if "prompt_group" not in skip:
+        prompt_group = _bench_prompt_group(policy, params, rtt)
+        _phase("grouped prompt encode")
 
     # ---- fused-kernel probe: the cached rollout's chunks (Lq=17) and short
     # prompts stay below the flash gate by design (XLA wins there), so the
     # kernel is exercised explicitly at a training/parity-scale shape and
     # must both trace to the fused path and beat the XLA path.
-    flash_probe = _bench_flash_kernel(rtt)
-    _phase("flash kernel probe")
+    flash_probe = None
+    if "flash" not in skip:
+        flash_probe = _bench_flash_kernel(rtt)
+        _phase("flash kernel probe")
+
+    decode_probe = None
+    if "decode" not in skip:
+        decode_probe = _bench_decode_kernel(rtt)
+        _phase("decode kernel probe")
+
+    detector = None
+    if "detector" not in skip:
+        detector = _bench_detector(rtt)
+        _phase("detector")
+
+    train = None
+    if "train" not in skip:
+        train = _bench_train(rtt)
+        _phase("train")
 
     counts = attn_mod.dispatch_counts()
     fallbacks = attn_mod.flash_fallbacks()
@@ -358,6 +385,10 @@ def bench_ours():
         },
         "flash_fallbacks": [list(k) for k in fallbacks],
         "flash_kernel": flash_probe,
+        "decode_kernel": decode_probe,
+        "prompt_encode_group": prompt_group,
+        "detector": detector,
+        "train": train,
     }
 
 
@@ -418,10 +449,79 @@ def _bench_flash_kernel(rtt, Bq=8, H=12, L=512, D=64, iters=50):
     return result
 
 
+def _bench_decode_kernel(rtt, H=12, D=64, S=512, C=17, iters=40):
+    """Fused Pallas decode-attention (ops/decode_attention) vs the XLA path
+    at the production cached-rollout chunk shape (Lq=17 against a 512-slot
+    E-contiguous cache at B=64), full cache vs early-episode valid prefix.
+    This measurement decides the decode-kernel gate
+    (ops.attention.set_decode_kernel_enabled)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vima_tpu.ops.decode_attention import fused_cached_attention, xla_cached_attend
+
+    rng = np.random.default_rng(11)
+    E = H * D
+    Bd = 64
+    sm = jnp.ones((Bd, S), bool)
+    wi = jnp.int32(S - C)
+
+    def chain(fn):
+        @jax.jit
+        def f(q, k, v):
+            def body(c, _):
+                out = fn(c, k, v)
+                return (out[:, :, :C, :] * 0.999 + c * 0.001).astype(q.dtype), ()
+
+            out, _ = jax.lax.scan(body, q, None, length=iters)
+            return out.sum()
+
+        return f
+
+    result = {"shape": f"B={Bd},H={H},C={C},S={S}"}
+    on_tpu = jax.default_backend() == "tpu"
+    if not on_tpu:
+        result["skipped"] = "decode kernel is TPU-only"
+        return result
+    for dtn, dt in (("fp32", jnp.float32), ("bf16", jnp.bfloat16)):
+        q = jnp.asarray(rng.normal(size=(Bd, H, C, D)), dt)
+        ck = jnp.asarray(rng.normal(size=(Bd, S, E)), dt)
+        cv = jnp.asarray(rng.normal(size=(Bd, S, E)), dt)
+        cases = {
+            "kernel_full": lambda c, k, v: fused_cached_attention(
+                c, k, v, scale=1 / 8.0, slot_mask=sm, valid_len=wi + C,
+                q_offset=wi, causal=True,
+            ),
+            "xla_full": lambda c, k, v: xla_cached_attend(
+                c, k, v, scale=1 / 8.0, slot_mask=sm, q_offset=wi, causal=True
+            ),
+            "kernel_valid34": lambda c, k, v: fused_cached_attention(
+                c, k, v, scale=1 / 8.0, slot_mask=sm, valid_len=jnp.int32(2 * C),
+                q_offset=jnp.int32(C), causal=True,
+            ),
+        }
+        for name, fn in cases.items():
+            f = chain(fn)
+            float(f(q, ck, cv))  # compile
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                float(f(q, ck, cv))
+                ts.append((time.perf_counter() - t0 - rtt) / iters * 1e3)
+            result[f"{dtn}_{name}_ms"] = round(float(np.percentile(ts, 50)), 4)
+        if result.get(f"{dtn}_xla_full_ms"):
+            result[f"{dtn}_speedup_full"] = round(
+                result[f"{dtn}_xla_full_ms"] / result[f"{dtn}_kernel_full_ms"], 2
+            )
+    return result
+
+
 def _bench_closed_loop(policy, params, capacity, n_envs=8, ep_steps=20):
     """Full host+device closed loop on fake envs (pipelined env_loop):
     wall time per policy dispatch vs the device-only chain at the same
-    stream batch."""
+    stream batch, swept over the pipeline stream count (the knob that hides
+    the tunnel RTT; ``auto`` is the production default — it tunes itself
+    from the previous call's measured period/device-step ratio)."""
     import jax
     import jax.numpy as jnp
 
@@ -445,16 +545,23 @@ def _bench_closed_loop(policy, params, capacity, n_envs=8, ep_steps=20):
 
     capacity = min(MAX_CAPACITY, _ceil_to((ep_steps + 2) * (1 + 2 * N_OBJS), CAPACITY_BUCKET))
     kwargs = dict(tokenize_prompt=tok, max_objs=N_OBJS, capacity=None, env_workers=4)
-    run_episode_batch(policy, params, make_envs(), **kwargs)  # compile
-    t0 = time.perf_counter()
-    results = run_episode_batch(policy, params, make_envs(), **kwargs)
-    wall = time.perf_counter() - t0
+    stream_sweep = {}
+    for ns in (1, 2, 4, None):  # None = auto-tune (tunes off the runs above)
+        run_episode_batch(policy, params, make_envs(), n_streams=ns, **kwargs)  # compile
+        t0 = time.perf_counter()
+        res = run_episode_batch(policy, params, make_envs(), n_streams=ns, **kwargs)
+        w = time.perf_counter() - t0
+        stream_sweep["auto" if ns is None else str(ns)] = {
+            "n_streams": res[0]["n_streams"],
+            "env_steps_per_sec": round(sum(r["steps"] for r in res) / w, 1),
+        }
+        if ns is None:
+            results, wall = res, w
     total_env_steps = sum(r["steps"] for r in results)
-    # two streams alternate on the device -> dispatches per stream = ep_steps
-    dispatches = 2 * ep_steps
+    dispatches = results[0]["dispatches"]
 
     # device-only chain at the same per-stream batch for the ratio
-    sb = n_envs // 2
+    sb = max(1, n_envs // results[0]["n_streams"])
     rng = np.random.default_rng(1)
     objects = {
         "cropped_img": {
@@ -507,7 +614,209 @@ def _bench_closed_loop(policy, params, capacity, n_envs=8, ep_steps=20):
         "device_only_step_ms": round(device_ms, 3),
         "host_overhead_ratio": round(per_dispatch_ms / device_ms, 2) if device_ms else None,
         "n_envs": n_envs,
+        "n_streams": results[0]["n_streams"],
+        "dispatches": dispatches,
+        "stream_sweep": stream_sweep,
     }
+
+
+def _bench_prompt_group(policy, params, rtt, n_streams=2, envs_per_stream=4):
+    """The bucketed, batched episode-start prompt encode real multi-env
+    episodes pay (env_loop._encode_prompt_group), timed at the stream batch,
+    with a compile-count assertion across two DIFFERENT prompt sets — a
+    bucket regression (stray shape -> recompile) shows up here as a cache
+    miss, not just a slow episode start. Ref: the reference re-encodes the
+    prompt once per episode too (scripts/example.py:112-120)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vima_tpu.bridge.adapters import get_adapter
+    from vima_tpu.bridge.env_loop import _encode_prompt_group
+    from vima_tpu.bridge.fake_env import FakeVimaEnv
+    from vima_tpu.bridge.tokenizer import PromptTokenizer
+    from vima_tpu.policy.rollout import encode_prompt
+
+    tok = PromptTokenizer(None, vocab_size=policy.vocab_size, offline=True)
+    adapter = get_adapter(policy)
+
+    def tokenized_group(seed0):
+        group = []
+        for i in range(envs_per_stream):
+            env = FakeVimaEnv(seed=seed0 + i, n_objects=N_OBJS, oracle_max_steps=8)
+            env.reset()
+            ids, types, names = tok(env.prompt)
+            image_batch, obj_masks = adapter.prep_assets(env.prompt_assets, names)
+            group.append((np.asarray(ids, np.int32), types, image_batch, obj_masks))
+        return group
+
+    groups = [tokenized_group(1), tokenized_group(100)]
+    # FakeVimaEnv prompts carry 2 image placeholders each -> 8 per group
+    kw = dict(n_objs=N_OBJS, n_words_pad=64, n_imgs_pad=8, lp_pad=64)
+    state = _encode_prompt_group(adapter, params, groups[0], 384, **kw)
+    np.asarray(state.pos_count)  # settle compile
+    misses0 = encode_prompt._cache_size()
+    times = []
+    for rep in range(6):
+        g = groups[rep % 2]
+        t0 = time.perf_counter()
+        state = _encode_prompt_group(adapter, params, g, 384, **kw)
+        np.asarray(state.pos_count)
+        times.append((time.perf_counter() - t0 - rtt) * 1e3)
+    recompiles = encode_prompt._cache_size() - misses0
+    if recompiles:
+        raise RuntimeError(
+            f"bucketed prompt encode recompiled {recompiles}x across prompts "
+            "sharing the same buckets — shape bucketing regressed"
+        )
+    return {
+        "group_encode_ms_p50": round(float(np.percentile(times, 50)), 3),
+        "envs_per_group": envs_per_stream,
+        "recompiles_across_prompts": recompiles,
+    }
+
+
+def _bench_detector(rtt):
+    """TPU-side Mask R-CNN detector over one VIMA frame pair (BASELINE
+    config 3 runs the full policy with the detector in the obs loop,
+    reference README.md:34,37). Random-init params — cost is shape-driven
+    (static canvas, static NMS budgets), not value-driven. Reports the full
+    detect() wall (jit forward + host mask pasting) at the CLI's
+    VIMA-frame defaults (min_size=256: a 64x128 frame maps to a 256x512
+    canvas; the torchvision default 800/1333 canvas is ~10x the pixels)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vima_tpu.bridge.detector import JaxMaskRCNNDetector
+    from vima_tpu.nn.maskrcnn import MaskRCNN
+
+    if os.environ.get("BENCH_TINY"):  # CPU smoke: shape/code-path check only
+        model = MaskRCNN(
+            blocks=(1, 1, 1, 1), width=16, fpn_features=32, representation=64,
+            pre_nms_top_n=50, post_nms_top_n=50, detections_per_img=10,
+        )
+    else:
+        model = MaskRCNN()  # released-ckpt geometry: R50-FPN, 91 classes
+    rng = np.random.default_rng(3)
+    frames = {
+        v: rng.integers(0, 255, size=(3, 64, 128)).astype(np.uint8)
+        for v in VIEWS
+    }
+    canvas = jnp.zeros((256, 512, 3), jnp.float32)
+    hw = jnp.asarray([256, 512], jnp.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), canvas, hw)
+    det = JaxMaskRCNNDetector(model=model, params=params, min_size=256, max_size=512)
+    det.detect(frames, {})  # compile
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        det.detect(frames, {})
+        times.append((time.perf_counter() - t0 - rtt) * 1e3)
+    return {
+        "detect_ms_p50": round(float(np.percentile(times, 50)), 2),
+        "detect_ms_p90": round(float(np.percentile(times, 90)), 2),
+        "views": len(VIEWS),
+        "canvas": "256x512",
+    }
+
+
+def _bench_train(rtt):
+    """BC training throughput on the single chip: steps/s, env-steps/s and
+    est. MFU at fp32 vs bf16 compute (vima-20m by default; BENCH_TRAIN_MODEL
+    overrides). The reference has no trainer at all (its train-only code
+    paths are vestigial, reference vima/nn/prompt_encoder/
+    prompt_encoder.py:376-400) — this number carries the framework's own
+    added capability."""
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from vima_tpu.bridge.fake_env import FakeVimaEnv
+    from vima_tpu.bridge.tokenizer import PromptTokenizer
+    from vima_tpu.ckpt.registry import get_config
+    from vima_tpu.eval.record import record_episode
+    from vima_tpu.parallel import make_mesh
+    from vima_tpu.policy import init_params
+    from vima_tpu.train.data import (
+        TrajectoryDataset,
+        dataset_kwargs_for_policy,
+        save_episode,
+    )
+    from vima_tpu.train.trainer import Trainer
+
+    model = os.environ.get("BENCH_TRAIN_MODEL", "vima-20m")
+    BT, TT, N_CHAIN = 8, 6, 10
+    if os.environ.get("BENCH_TINY"):  # CPU smoke: tiny t5, 2-step chains
+        BT, N_CHAIN = 2, 2
+    tok = PromptTokenizer(None, vocab_size=32128, offline=True)
+
+    out = {"model": model, "batch_size": BT, "max_steps": TT}
+    with tempfile.TemporaryDirectory() as tmp:
+        for i in range(BT):
+            env = FakeVimaEnv(seed=i, n_objects=N_OBJS, oracle_max_steps=TT - 2)
+            ep = record_episode(env, tok, max_objs=N_OBJS, seed=i)
+            save_episode(f"{tmp}/episode_{i:05d}.npz", ep)
+
+        device_kind = jax.devices()[0].device_kind
+        peak = next(
+            (v for k, v in _PEAK_FLOPS.items() if k.lower() in device_kind.lower()), None
+        )
+        for dtype_name, dtype in (("fp32", jnp.float32), ("bf16", jnp.bfloat16)):
+            if os.environ.get("BENCH_TINY"):
+                from vima_tpu.nn.t5 import T5Config
+                from vima_tpu.policy.vima import VIMAPolicy
+
+                policy = VIMAPolicy(
+                    embed_dim=64, xf_n_layers=1, sattn_n_heads=4, xattn_n_heads=4,
+                    vit_width=32, vit_layers=1, vit_heads=2, vit_output_dim=64,
+                    bbox_mlp_hidden_dim=64, dtype=dtype,
+                    t5_cfg=T5Config(
+                        d_model=48, d_ff=96, num_layers=1, num_heads=4,
+                        d_kv=12, vocab_size=32128,
+                    ),
+                )
+            else:
+                policy = get_config(model).build(dtype=dtype)
+            ds = TrajectoryDataset(
+                tmp, max_steps=TT, max_objs=N_OBJS, prompt_len=64,
+                **dataset_kwargs_for_policy(policy),
+            )
+            batch = jax.tree_util.tree_map(jnp.asarray, next(ds.batches(BT)))
+            trainer = Trainer(policy, make_mesh(), learning_rate=1e-4)
+            trainer.init(init_params(policy))
+            m = trainer.step(batch)  # compile
+            trainer.fetch(m)
+            samples = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                for _ in range(N_CHAIN):
+                    m = trainer.step(batch)
+                trainer.fetch({"loss": m["loss/total"]})
+                samples.append((time.perf_counter() - t0 - rtt) / N_CHAIN)
+            p50 = float(np.percentile(samples, 50))
+            entry = {
+                "step_ms_p50": round(p50 * 1e3, 2),
+                "steps_per_sec": round(1.0 / p50, 2),
+                "env_steps_per_sec": round(BT * TT / p50, 1),
+            }
+            try:
+                import jax.random as jr
+
+                lowered = trainer._compiled.lower(
+                    trainer.params, trainer.opt_state, batch, jr.PRNGKey(0)
+                )
+                ca = lowered.compile().cost_analysis()
+                if isinstance(ca, (list, tuple)):
+                    ca = ca[0]
+                fl = float(ca["flops"])
+                entry["tflops_per_sec"] = round(fl / p50 / 1e12, 2)
+                if peak:
+                    entry["est_mfu"] = round(fl / p50 / peak, 4)
+            except Exception as e:
+                print(f"[bench] train cost_analysis unavailable: {e!r}", file=sys.stderr)
+            out[dtype_name] = entry
+            _phase(f"train {dtype_name} {model}")
+    return out
 
 
 def bench_reference():

@@ -31,7 +31,12 @@ REPS = 5
 
 
 def timed(make_fn, args, label, n1=N1, n2=N2, reps=REPS):
-    """make_fn(n) -> jitted callable over args returning a fetchable scalar."""
+    """make_fn(n) -> jitted callable over args returning a fetchable scalar.
+
+    Pass every large array (params, states, caches) through ``args`` — a
+    closure capture would inline it into the HLO as a literal constant
+    (multi-GB uploads per compile on the tunneled TPU; jax warns at 3.3 GB
+    for the 200M params alone)."""
     f1, f2 = make_fn(n1), make_fn(n2)
     float(f1(*args))
     float(f2(*args))
@@ -111,10 +116,10 @@ def exp_step():
     rng = np.random.default_rng(1)
     objects, ee = _step_inputs(rng)
 
-    def make(pol, params, state0):
+    def make(pol):
         def mk(n):
             @jax.jit
-            def f(objects, ee):
+            def f(params, state0, objects, ee):
                 def body(carry, _):
                     state, acc = carry
                     e = (ee + acc % 2) % 2
@@ -132,7 +137,7 @@ def exp_step():
         pol, params = _policy(dtype)
         state = _encode(pol, params, 512)
         timed(
-            make(pol, params, state), (objects, ee),
+            make(pol), (params, state, objects, ee),
             f"full step B={B} {dtype_name} cap512",
         )
 
@@ -144,10 +149,10 @@ def exp_chunk():
     rng = np.random.default_rng(2)
     C = 1 + 2 * N_OBJS
 
-    def make(pol, params, state0, chunk, pos):
+    def make(pol):
         def mk(n):
             @jax.jit
-            def f(chunk, pos):
+            def f(params, state0, chunk, pos):
                 def body(carry, _):
                     st, x, acc = carry
                     out, nk, nv = pol.apply(
@@ -178,7 +183,7 @@ def exp_chunk():
             chunk = jnp.asarray(rng.normal(size=(B, C, pol.embed_dim)), dtype)
             pos = jnp.broadcast_to(jnp.arange(C, dtype=jnp.int32)[None], (B, C))
             timed(
-                make(pol, params, state, chunk, pos), (chunk, pos),
+                make(pol), (params, state, chunk, pos),
                 f"decoder chunk x11L B={B} {dtype_name} cap{cap}",
             )
 
@@ -190,10 +195,10 @@ def exp_vit():
     rng = np.random.default_rng(3)
     objects, ee = _step_inputs(rng)
 
-    def make(pol, params):
+    def make(pol):
         def mk(n):
             @jax.jit
-            def f(objects, ee):
+            def f(params, objects, ee):
                 def body(acc, _):
                     obj = jax.tree_util.tree_map(
                         lambda x: x + acc.astype(jnp.uint8) if x.dtype == jnp.uint8 else x,
@@ -211,7 +216,7 @@ def exp_vit():
 
     for dtype_name, dtype in (("fp32", jnp.float32), ("bf16", jnp.bfloat16)):
         pol, params = _policy(dtype)
-        timed(make(pol, params), (objects, ee), f"obs(ViT) B={B} {dtype_name}")
+        timed(make(pol), (params, objects, ee), f"obs(ViT) B={B} {dtype_name}")
 
 
 def exp_misc():
@@ -221,10 +226,10 @@ def exp_misc():
     from vima_tpu.nn.action import action_mode
     from vima_tpu.policy.base import ACTION_DIMS
 
-    def make(pol, params, actions0, tok):
+    def make(pol, actions0):
         def mk(n):
             @jax.jit
-            def f(tok):
+            def f(params, tok):
                 def body(carry, _):
                     actions, acc = carry
                     emb = pol.apply(params, actions, method="forward_action_token")
@@ -248,7 +253,7 @@ def exp_misc():
         pol, params = _policy(dtype)
         actions0 = zero_actions(B)
         tok = jnp.zeros((B, pol.embed_dim), dtype)
-        timed(make(pol, params, actions0, tok), (tok,), f"action embed+decode B={B} {dtype_name}")
+        timed(make(pol, actions0), (params, tok), f"action embed+decode B={B} {dtype_name}")
 
 
 def exp_kernel():
