@@ -64,7 +64,7 @@ def test_fused_matches_xla(case):
     q, k, v = _mk(rng, B, H, Lq, Lk, D)
     scale = 1.0 / np.sqrt(D)
     ref = xla_ref(q, k, v, scale=scale, **kw_x)
-    out = fused_attention(q, k, v, scale=scale, interpret=True, **kw_f)
+    out = fused_attention(q, k, v, scale=scale, mxu_bf16=False, interpret=True, **kw_f)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
 
 
@@ -79,7 +79,8 @@ def test_fused_batched_bias():
     scale = 1.0 / np.sqrt(D)
     ref = xla_ref(q, k, v, scale=scale, bias=bias, key_mask=jnp.asarray(mask))
     out = fused_attention(
-        q, k, v, scale=scale, bias=bias, key_mask=jnp.asarray(mask), interpret=True
+        q, k, v, scale=scale, bias=bias, key_mask=jnp.asarray(mask),
+        mxu_bf16=False, interpret=True,
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
 
@@ -113,9 +114,39 @@ def test_fused_traced_q_offset():
     def f(off):
         return fused_attention(
             q, k, v, scale=scale, causal=True, q_offset=off, key_mask=mask_j,
-            interpret=True,
+            mxu_bf16=False, interpret=True,
         )
 
     out = jax.jit(f)(jnp.int32(32))
     ref = xla_ref(q, k, v, scale=scale, causal=True, q_offset=32, key_mask=mask_j)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_fused_mxu_bf16_matches_rounded_xla():
+    """The production TPU config (mxu_bf16=True, the default) reproduces
+    XLA's *default* matmul precision semantics: fp32 operands rounded to
+    bf16, one MXU pass, fp32 accumulation. Reference: the XLA attend over
+    pre-rounded operands (probs rounding differs by accumulation order, so
+    the tolerance is bf16-scale rather than exact)."""
+    rng = np.random.default_rng(123)
+    B, H, Lq, Lk, D = 2, 3, 128, 128, 32
+    q, k, v = _mk(rng, B, H, Lq, Lk, D)
+    scale = 1.0 / np.sqrt(D)
+
+    def rd(x):
+        return x.astype(jnp.bfloat16).astype(jnp.float32)
+
+    ref = xla_ref(rd(q), rd(k), rd(v), scale=scale, causal=True)
+    out = fused_attention(q, k, v, scale=scale, causal=True, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=5e-3, rtol=5e-3
+    )
+
+
+def test_flash_gate_respects_strict_parity():
+    """strict_parity_mode (highest matmul precision) must route every shape
+    to the XLA path — the fused kernel's bf16-rounded MXU dots would
+    silently degrade a parity run."""
+    q = jnp.zeros((1, 1, 128, 32), jnp.float32)
+    with attention.strict_parity_mode():
+        assert not attention._flash_eligible(q, q)

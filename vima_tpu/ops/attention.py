@@ -134,6 +134,11 @@ def _flash_eligible(q, k) -> bool:
             return False
     except Exception:
         return False
+    # Under strict_parity_mode (highest matmul precision) the fused kernel's
+    # bf16-rounded MXU dots would silently downgrade precision; the XLA path
+    # honors the precision config, so route there.
+    if jax.config.jax_default_matmul_precision in ("highest", "float32"):
+        return False
     Lq, Lk = q.shape[2], k.shape[2]
     return Lq >= _FLASH_MIN_Q and Lq * Lk >= _FLASH_MIN_SCORE_TILE
 

@@ -13,6 +13,16 @@ Numerics are bit-compatible with vima_tpu.ops.attention.attend's XLA path:
 fp32 logits, causal fill ``-1e4`` (reference components.py:63), fp32-min
 additive key-padding mask, probs cast to the value dtype before PV.
 
+MXU precision (``mxu_bf16``, default True): with fp32 operands the TPU MXU
+runs true-fp32 matmuls as ~6 slow passes, while XLA's *default* matmul
+precision rounds fp32 operands to bf16 and does ONE pass with fp32
+accumulation — so a kernel that feeds the MXU raw fp32 loses to the XLA
+path on speed while being *more* precise than it (measured round 2:
+0.75x at L=512). ``mxu_bf16=True`` reproduces XLA's default-precision
+semantics (operands rounded to bf16, fp32 accumulate) inside the kernel;
+the dispatcher disables the fused path entirely under
+``strict_parity_mode`` (highest precision) so parity runs stay exact.
+
 The causal q_offset for KV-cache chunks arrives as a scalar-prefetch
 argument (SMEM), so the cached rollout path uses the same kernel with a
 traced write index.
@@ -42,6 +52,7 @@ def _kernel(
     has_kmask: bool,
     has_bias: bool,
     block_q: int,
+    mxu_bf16: bool,
 ):
     idx = 0
     q_ref = refs[idx]; idx += 1
@@ -55,8 +66,11 @@ def _kernel(
         bias_ref = refs[idx]; idx += 1
     o_ref = refs[idx]
 
-    q = q_ref[0, 0].astype(jnp.float32)  # (BQ, D)
-    k = k_ref[0, 0].astype(jnp.float32)  # (Lk, D)
+    # fp32 operands optionally round to bf16 for a single MXU pass with fp32
+    # accumulation (exactly XLA default-precision semantics — module doc).
+    mxu_dt = jnp.bfloat16 if mxu_bf16 else jnp.float32
+    q = q_ref[0, 0].astype(mxu_dt)  # (BQ, D)
+    k = k_ref[0, 0].astype(mxu_dt)  # (Lk, D)
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
@@ -87,8 +101,12 @@ def _kernel(
     p = e / jnp.sum(e, axis=-1, keepdims=True)
 
     v = v_ref[0, 0]
+    pv_dt = mxu_dt if v.dtype == jnp.float32 else v.dtype
     out = jax.lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        p.astype(pv_dt),
+        v.astype(pv_dt),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
     o_ref[0, 0] = out.astype(o_ref.dtype)
 
@@ -107,10 +125,14 @@ def fused_attention(
     q_offset=None,
     key_mask: Optional[jnp.ndarray] = None,
     bias: Optional[jnp.ndarray] = None,
+    mxu_bf16: bool = True,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Fused attention. q: (B,H,Lq,D); k/v: (B,H,Lk,D);
     key_mask: bool (B, Lk); bias: (1|B, H, Lq, Lk) additive fp32.
+    mxu_bf16: round fp32 matmul operands to bf16 for single-pass MXU dots
+    (XLA default-precision semantics — module docstring); pass False for
+    true-fp32 dots (exactness tests; ~6x slower on fp32 inputs).
     Returns (B, H, Lq, D) in v.dtype."""
     B, H, Lq, D = q.shape
     Lk = k.shape[2]
@@ -193,6 +215,7 @@ def fused_attention(
         has_kmask=key_mask is not None,
         has_bias=bias is not None,
         block_q=block_q,
+        mxu_bf16=mxu_bf16,
     )
     out = pl.pallas_call(
         kernel,
