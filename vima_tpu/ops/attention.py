@@ -24,6 +24,7 @@ sequences XLA's fusion is already optimal).
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -126,7 +127,7 @@ def _causal_allowed(q_len: int, k_len: int, q_offset) -> jnp.ndarray:
     return k_pos <= q_pos
 
 
-def _flash_eligible(q, k) -> bool:
+def _flash_eligible(q, k, q_offset) -> bool:
     if not _USE_FLASH:
         return False
     try:
@@ -138,6 +139,11 @@ def _flash_eligible(q, k) -> bool:
     # bf16-rounded MXU dots would silently downgrade precision; the XLA path
     # honors the precision config, so route there.
     if jax.config.jax_default_matmul_precision in ("highest", "float32"):
+        return False
+    # The custom_vjp wrapper needs q_offset static (it is a nondiff arg);
+    # traced offsets only occur on KV-cache chunk shapes, which are below
+    # the flash gate anyway.
+    if q_offset is not None and not isinstance(q_offset, int):
         return False
     Lq, Lk = q.shape[2], k.shape[2]
     return Lq >= _FLASH_MIN_Q and Lq * Lk >= _FLASH_MIN_SCORE_TILE
@@ -170,19 +176,23 @@ def attend(
 
     Returns (B, H, Lq, D) in v.dtype.
     """
-    out_dtype = v.dtype
     Lq, Lk = q.shape[2], k.shape[2]
 
-    if fp32_logits and _flash_eligible(q, k):
-        from vima_tpu.ops.flash_attention import fused_attention
-
+    if fp32_logits and _flash_eligible(q, k, q_offset):
         _note_dispatch("flash", Lq, Lk)
-        return fused_attention(
-            q, k, v, scale=scale, causal=causal, q_offset=q_offset,
-            key_mask=key_mask, bias=bias,
-        )
+        return _flash_attend((scale, causal, q_offset), q, k, v, key_mask, bias)
 
     _note_dispatch("xla", Lq, Lk)
+    return _xla_attend(
+        q, k, v, scale=scale, causal=causal, q_offset=q_offset,
+        key_mask=key_mask, bias=bias,
+    )
+
+
+def _xla_attend(q, k, v, *, scale, causal, q_offset, key_mask, bias):
+    """The XLA attention path (also the flash kernel's backward oracle)."""
+    out_dtype = v.dtype
+    Lq, Lk = q.shape[2], k.shape[2]
     # fp32 logits WITHOUT upcasting the operands: ``preferred_element_type``
     # makes the MXU accumulate in fp32 directly. bf16 -> fp32 upcast is
     # value-exact, so explicit ``astype`` would only (a) materialize fp32
@@ -208,6 +218,63 @@ def attend(
     probs = jax.nn.softmax(scores, axis=-1).astype(out_dtype)
     out = jnp.einsum("bhqk,bhkd->bhqd", probs, v, preferred_element_type=jnp.float32)
     return out.astype(out_dtype)
+
+
+# --- flash dispatch with a defined VJP -------------------------------------
+# pallas_call has no JVP rule, so differentiating through the fused kernel
+# (BC training's T5/decoder full-sequence attends) would raise
+# NotImplementedError. custom_vjp: forward runs the kernel; backward
+# recomputes attention through the XLA path (same math — module docstring)
+# and differentiates that. Net effect vs a pure-XLA forward: the fwd pass
+# never materializes the (B, H, Lq, Lk) probs in HBM; the bwd recompute is
+# what jax.checkpoint-style remat would do anyway.
+# ``static`` = (scale, causal, q_offset) — hashable by construction
+# (_flash_eligible rejects traced q_offset).
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _flash_attend(static, q, k, v, key_mask, bias):
+    from vima_tpu.ops.flash_attention import fused_attention
+
+    scale, causal, q_offset = static
+    return fused_attention(
+        q, k, v, scale=scale, causal=causal, q_offset=q_offset,
+        key_mask=key_mask, bias=bias,
+    )
+
+
+def _flash_attend_fwd(static, q, k, v, key_mask, bias):
+    return _flash_attend(static, q, k, v, key_mask, bias), (q, k, v, key_mask, bias)
+
+
+def _flash_attend_bwd(static, res, g):
+    import numpy as np
+
+    scale, causal, q_offset = static
+    q, k, v, key_mask, bias = res
+
+    def ref(q, k, v, *rest):
+        b = rest[0] if bias is not None else None
+        return _xla_attend(
+            q, k, v, scale=scale, causal=causal, q_offset=q_offset,
+            key_mask=key_mask, bias=b,
+        )
+
+    diff_args = (q, k, v) + ((bias,) if bias is not None else ())
+    _, vjp = jax.vjp(ref, *diff_args)
+    grads = vjp(g)
+    dq, dk, dv = grads[:3]
+    dbias = grads[3] if bias is not None else None
+    # bool key_mask has no cotangent space; float0 is the JAX convention
+    dmask = (
+        np.zeros(key_mask.shape, dtype=jax.dtypes.float0)
+        if key_mask is not None
+        else None
+    )
+    return dq, dk, dv, dmask, dbias
+
+
+_flash_attend.defvjp(_flash_attend_fwd, _flash_attend_bwd)
 
 
 def split_heads(x: jnp.ndarray, n_heads: int) -> jnp.ndarray:

@@ -98,17 +98,20 @@ def _kernel(
 
     m = jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s - m)
-    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    l = jnp.sum(e, axis=-1, keepdims=True)  # (BQ, 1)
 
+    # Normalize AFTER the PV matmul: dividing the (BQ, D) output is ~Lk/D
+    # cheaper on the VPU than scaling the (BQ, Lk) probs, and e in [0, 1]
+    # carries the same relative error through bf16 rounding as p would.
     v = v_ref[0, 0]
     pv_dt = mxu_dt if v.dtype == jnp.float32 else v.dtype
     out = jax.lax.dot_general(
-        p.astype(pv_dt),
+        e.astype(pv_dt),
         v.astype(pv_dt),
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    o_ref[0, 0] = out.astype(o_ref.dtype)
+    o_ref[0, 0] = (out / l).astype(o_ref.dtype)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -126,6 +129,7 @@ def fused_attention(
     key_mask: Optional[jnp.ndarray] = None,
     bias: Optional[jnp.ndarray] = None,
     mxu_bf16: bool = True,
+    block_q: Optional[int] = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Fused attention. q: (B,H,Lq,D); k/v: (B,H,Lk,D);
@@ -137,8 +141,21 @@ def fused_attention(
     B, H, Lq, D = q.shape
     Lk = k.shape[2]
     scale = 1.0 if scale is None else float(scale)
+    out_dtype = v.dtype
 
-    block_q = min(128, _round_up(Lq, 8))
+    # Round fp32 operands to bf16 BEFORE the pallas_call: the kernel would
+    # round them at the MXU anyway (module docstring), and casting outside
+    # halves the HBM->VMEM DMA bytes (XLA usually fuses the cast into the
+    # producer). Accumulation and the output stay fp32.
+    if mxu_bf16 and q.dtype == jnp.float32:
+        q = q.astype(jnp.bfloat16)
+        k = k.astype(jnp.bfloat16)
+        if v.dtype == jnp.float32:
+            v = v.astype(jnp.bfloat16)
+
+    if block_q is None:
+        block_q = min(128, _round_up(Lq, 8))
+    block_q = min(block_q, _round_up(Lq, 8))
     Lq_p = _round_up(Lq, block_q)
     Lk_p = _round_up(Lk, 128)
 
@@ -220,7 +237,7 @@ def fused_attention(
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, H, Lq_p, D), v.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, H, Lq_p, D), out_dtype),
         interpret=interpret,
     )(q_offset, *operands)
     return out[:, :, :Lq, :]
