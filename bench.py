@@ -458,7 +458,11 @@ def _bench_decode_kernel(rtt, H=12, D=64, S=512, C=17, iters=40):
     import jax
     import jax.numpy as jnp
 
-    from vima_tpu.ops.decode_attention import fused_cached_attention, xla_cached_attend
+    from vima_tpu.ops.decode_attention import (
+        fused_cached_attention,
+        fused_cached_attention_v2,
+        xla_cached_attend,
+    )
 
     rng = np.random.default_rng(11)
     E = H * D
@@ -488,16 +492,15 @@ def _bench_decode_kernel(rtt, H=12, D=64, S=512, C=17, iters=40):
         ck = jnp.asarray(rng.normal(size=(Bd, S, E)), dt)
         cv = jnp.asarray(rng.normal(size=(Bd, S, E)), dt)
         cases = {
-            "kernel_full": lambda c, k, v: fused_cached_attention(
+            "kernel_v2": lambda c, k, v: fused_cached_attention_v2(
+                c, k, v, scale=1 / 8.0, slot_mask=sm, q_offset=wi, causal=True,
+            ),
+            "kernel_v1_full": lambda c, k, v: fused_cached_attention(
                 c, k, v, scale=1 / 8.0, slot_mask=sm, valid_len=wi + C,
                 q_offset=wi, causal=True,
             ),
             "xla_full": lambda c, k, v: xla_cached_attend(
                 c, k, v, scale=1 / 8.0, slot_mask=sm, q_offset=wi, causal=True
-            ),
-            "kernel_valid34": lambda c, k, v: fused_cached_attention(
-                c, k, v, scale=1 / 8.0, slot_mask=sm, valid_len=jnp.int32(2 * C),
-                q_offset=jnp.int32(C), causal=True,
             ),
         }
         for name, fn in cases.items():
@@ -510,8 +513,8 @@ def _bench_decode_kernel(rtt, H=12, D=64, S=512, C=17, iters=40):
                 ts.append((time.perf_counter() - t0 - rtt) / iters * 1e3)
             result[f"{dtn}_{name}_ms"] = round(float(np.percentile(ts, 50)), 4)
         if result.get(f"{dtn}_xla_full_ms"):
-            result[f"{dtn}_speedup_full"] = round(
-                result[f"{dtn}_xla_full_ms"] / result[f"{dtn}_kernel_full_ms"], 2
+            result[f"{dtn}_speedup_v2"] = round(
+                result[f"{dtn}_xla_full_ms"] / result[f"{dtn}_kernel_v2_ms"], 2
             )
     return result
 

@@ -12,7 +12,11 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from vima_tpu.ops.decode_attention import fused_cached_attention, xla_cached_attend
+from vima_tpu.ops.decode_attention import (
+    fused_cached_attention,
+    fused_cached_attention_v2,
+    xla_cached_attend,
+)
 
 
 def _mk(rng, B=2, H=4, C=17, D=64, S=256):
@@ -23,8 +27,20 @@ def _mk(rng, B=2, H=4, C=17, D=64, S=256):
     return q, ck, cv
 
 
+def _fused(impl):
+    """Uniform call shim: v2 takes no valid_len/block_k."""
+    if impl == "v1":
+        return fused_cached_attention
+
+    def v2(q, ck, cv, *, valid_len=None, block_k=None, **kw):
+        return fused_cached_attention_v2(q, ck, cv, **kw)
+
+    return v2
+
+
+@pytest.mark.parametrize("impl", ["v1", "v2"])
 @pytest.mark.parametrize("write_index", [0, 5, 37, 239])
-def test_causal_matches_oracle(rng, write_index):
+def test_causal_matches_oracle(rng, write_index, impl):
     q, ck, cv = _mk(rng)
     B, H, C, D = q.shape
     S = ck.shape[1]
@@ -36,7 +52,7 @@ def test_causal_matches_oracle(rng, write_index):
         sm[0, 10:14] = False
     sm = jnp.asarray(sm)
     with jax.default_matmul_precision("highest"):
-        out_k = fused_cached_attention(
+        out_k = _fused(impl)(
             q, ck, cv, scale=1 / np.sqrt(D), slot_mask=sm,
             valid_len=jnp.int32(valid), q_offset=jnp.int32(write_index),
             causal=True, interpret=True,
@@ -48,7 +64,8 @@ def test_causal_matches_oracle(rng, write_index):
     np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_x), atol=2e-5)
 
 
-def test_cross_matches_oracle(rng):
+@pytest.mark.parametrize("impl", ["v1", "v2"])
+def test_cross_matches_oracle(rng, impl):
     q, _, _ = _mk(rng)
     B, H, C, D = q.shape
     E = H * D
@@ -59,7 +76,7 @@ def test_cross_matches_oracle(rng):
     pm[:, 20:] = False
     pm = jnp.asarray(pm)
     with jax.default_matmul_precision("highest"):
-        out_k = fused_cached_attention(
+        out_k = _fused(impl)(
             q, pk, pv, scale=1 / np.sqrt(D), slot_mask=pm,
             valid_len=jnp.int32(Lp), causal=False, interpret=True,
         )
@@ -69,7 +86,8 @@ def test_cross_matches_oracle(rng):
     np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_x), atol=2e-5)
 
 
-def test_block_skipping_is_exact(rng):
+@pytest.mark.parametrize("impl", ["v1", "v2"])
+def test_block_skipping_is_exact(rng, impl):
     """Keys past valid_len are causally/mask-excluded (exp underflows to
     exactly 0), so skipping whole k-blocks must be bit-neutral vs attending
     over the full capacity."""
@@ -82,7 +100,7 @@ def test_block_skipping_is_exact(rng):
     sm[:, :valid] = True
     sm = jnp.asarray(sm)
     with jax.default_matmul_precision("highest"):
-        out_k = fused_cached_attention(
+        out_k = _fused(impl)(
             q, ck, cv, scale=1 / np.sqrt(D), slot_mask=sm,
             valid_len=jnp.int32(valid), q_offset=jnp.int32(wi),
             causal=True, interpret=True,
@@ -94,7 +112,8 @@ def test_block_skipping_is_exact(rng):
     np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_x), atol=2e-5)
 
 
-def test_bf16_cache(rng):
+@pytest.mark.parametrize("impl", ["v1", "v2"])
+def test_bf16_cache(rng, impl):
     q, ck, cv = _mk(rng)
     B, H, C, D = q.shape
     S = ck.shape[1]
@@ -105,7 +124,7 @@ def test_bf16_cache(rng):
     sm[:, :valid] = True
     sm = jnp.asarray(sm)
     with jax.default_matmul_precision("highest"):
-        out_k = fused_cached_attention(
+        out_k = _fused(impl)(
             q, ck, cv, scale=1 / np.sqrt(D), slot_mask=sm,
             valid_len=jnp.int32(valid), q_offset=jnp.int32(wi),
             causal=True, interpret=True,
@@ -120,7 +139,8 @@ def test_bf16_cache(rng):
     )
 
 
-def test_step0_all_masked_row_is_finite(rng):
+@pytest.mark.parametrize("impl", ["v1", "v2"])
+def test_step0_all_masked_row_is_finite(rng, impl):
     """Step 0's dummy action slot: its row attends only to masked keys; the
     output must stay finite (it is never consumed downstream), and the real
     rows must match the oracle."""
@@ -131,7 +151,7 @@ def test_step0_all_masked_row_is_finite(rng):
     sm[:, 1:C] = True  # slot 0 (dummy action) masked forever
     sm = jnp.asarray(sm)
     with jax.default_matmul_precision("highest"):
-        out_k = fused_cached_attention(
+        out_k = _fused(impl)(
             q, ck, cv, scale=1 / np.sqrt(D), slot_mask=sm,
             valid_len=jnp.int32(C), q_offset=jnp.int32(0),
             causal=True, interpret=True,

@@ -199,11 +199,19 @@ class GPTBlock(nn.Module):
         new_v = jax.lax.dynamic_update_slice(
             cache_v, v.astype(cache_v.dtype), (0, write_index, 0)
         )
+        # Value-identity barrier between the in-place cache update and the
+        # attend: without it XLA's memory-space assignment fuses the DUS
+        # into the attend's operand, promotes the whole (B, S, E) cache to
+        # VMEM, and evicts all of it back to HBM every step (~50 MB/layer
+        # at B=64). Measured on v5e: 0.39 -> 0.28-0.32 ms per layer at
+        # B=64,S=512 bf16 (round-3 DUS labs). The un-barriered new_k/new_v
+        # are returned for the carry so the DUS still aliases in place.
+        bar_k, bar_v = jax.lax.optimization_barrier((new_k, new_v))
         d = self.dim // self.num_heads
         ctx = cached_attend(
             q,
-            new_k,
-            new_v,
+            bar_k,
+            bar_v,
             scale=1.0 / math.sqrt(d),
             slot_mask=cache_mask,
             valid_len=write_index + x.shape[1],

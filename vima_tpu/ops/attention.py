@@ -52,11 +52,14 @@ def flash_enabled() -> bool:
 
 
 # The fused decode kernel (ops/decode_attention) is gated separately from
-# the full-sequence flash kernel: measured on v5e (see BENCH notes), XLA's
-# fusion of the small-chunk cached attend is faster than the Pallas decode
-# kernel at every production shape, so it defaults OFF and exists as the
-# valid-prefix-skipping reference implementation.
-_USE_DECODE_KERNEL = False
+# the full-sequence flash kernel. The v2 kernel (one program per batch row,
+# head-stacked scores in VMEM) measured 4.0x (bf16) / 2.1x (fp32) faster
+# than the XLA cached attend at the production B=64,S=512,C=17 shape on
+# v5e — the XLA path pays a (B,S,E)->(B,H,S,D) relayout copy of every
+# cache every step (69% of the step's materialized HBM writes in the HLO).
+# Default ON; xla_cached_attend remains the numerics oracle and the
+# fallback for shapes the kernel doesn't accept.
+_USE_DECODE_KERNEL = True
 
 
 def set_decode_kernel_enabled(flag: bool) -> None:

@@ -1,8 +1,25 @@
 """Fused KV-cache decode attention for TPU (Pallas).
 
 The cached rollout's hot op: a small query chunk (C = 1 + n_obj tokens,
-~17) attends to a fixed-capacity KV cache (S <= 512 slots). Design points,
-all driven by v5e measurements of the round-2 implementation:
+~17) attends to a fixed-capacity KV cache (S <= 512 slots).
+
+Two kernels live here. **v2** (``fused_cached_attention_v2``, dispatched in
+production) runs one grid program per batch row, streams the whole (S, E)
+K/V block through VMEM once, and stacks all heads' fp32 scores as one
+(H, Cp, S) value so the mask/softmax chain is a handful of large vector
+ops. It exists because the XLA path must relayout every E-contiguous cache
+to head-split (B, H, S, D) before its dot — a 100 MB copy per cache per
+step at B=64 that the round-3 HLO audit measured at 69% of the step's
+materialized HBM writes — while alternative cache layouts that avoid the
+copy ((B,H,S,D), (B,H,D,S)) measured 2.3x *worse* due to lane padding or
+relayouts inside the dots. v2 on v5e: 0.095 ms bf16 / 0.217 ms fp32 per
+layer-pair in-context vs 0.380 / 0.446 for the barrier+XLA path. **v1**
+(``fused_cached_attention``) is the earlier k-blocked online-softmax kernel
+with valid-prefix block skipping; it loses in-context (grid B x n_kb
+programs each running per-head op chains — issue-overhead bound) and is
+kept as the block-skipping reference implementation.
+
+v1 design notes, all driven by v5e measurements of the round-2 code:
 
   * **E-contiguous cache layout** ``(B, S, E)``. The round-2 caches were
     head-split ``(B, H, S, D)`` with D = 64: TPU tiles pad the minor
@@ -146,6 +163,137 @@ def _decode_kernel(
         o_ref[0] = (acc_ref[...] / l).astype(o_ref.dtype)
 
 
+def _decode_kernel_v2(
+    # scalar prefetch: [0] = q_offset (global pos of row 0)
+    scalars_ref,
+    q_ref,  # (1, H, Cp, D)
+    k_ref,  # (1, S, E)
+    v_ref,  # (1, S, E)
+    mask_ref,  # (1, 1, S) f32
+    o_ref,  # (1, H, Cp, D)
+    *,
+    scale: float,
+    causal: bool,
+    n_heads: int,
+    head_dim: int,
+):
+    """One program per batch row; K/V streamed whole; scores for ALL heads
+    stacked (H, Cp, S) so the mask/softmax chain runs as a handful of big
+    vector ops instead of H per-head chains (v1's failure mode: 256 programs
+    x 12 head-loops of tiny VPU ops = issue-overhead bound; measured v5e
+    0.49-0.58 ms per layer-pair in-context vs XLA 0.38). v2 measured
+    0.095 ms bf16 / 0.217 fp32 at B=64,S=512,E=768,C=17 — the op is
+    memory-bound (17 FLOP/byte vs v5e's 240), so whole-cache streaming with
+    one pass and VMEM-resident scores is ~speed-of-light."""
+    wi = scalars_ref[0]
+    k = k_ref[0]  # (S, E)
+    v = v_ref[0]
+    q = q_ref[0]  # (H, Cp, D)
+    H, Cp, D = n_heads, q.shape[1], head_dim
+    S = k.shape[0]
+
+    s = jnp.stack([
+        jax.lax.dot_general(
+            q[h], k[:, h * D:(h + 1) * D], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        for h in range(H)
+    ])  # (H, Cp, S) fp32, VMEM-resident
+    if scale != 1.0:
+        s = s * scale
+    # Same op order as ops.attention.attend: causal fill first, padding
+    # bias added after.
+    if causal:
+        qp = jax.lax.broadcasted_iota(jnp.int32, (H, Cp, S), 1) + wi
+        kp = jax.lax.broadcasted_iota(jnp.int32, (H, Cp, S), 2)
+        s = jnp.where(kp <= qp, s, NEG_1E4)
+    km = mask_ref[0, 0].astype(jnp.float32)  # (S,)
+    s = s + ((1.0 - km) * F32_MIN)[None, None, :]
+    # clamp m to a finite floor so fully-masked rows (step-0 dummy slot
+    # against an empty cache) yield 0, not NaN (same guard as v1)
+    m = jnp.maximum(jnp.max(s, axis=-1, keepdims=True), _NEG_INIT)
+    e = jnp.exp(s - m)
+    l = jnp.sum(e, axis=-1, keepdims=True)
+    l = jnp.where(l == 0.0, 1.0, l)
+    p = (e / l).astype(v.dtype)  # probs cast to value dtype, like attend()
+    o_ref[0] = jnp.stack([
+        jax.lax.dot_general(
+            p[h], v[:, h * D:(h + 1) * D], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        for h in range(H)
+    ]).astype(o_ref.dtype)
+
+
+def fused_cached_attention_v2(
+    q: jnp.ndarray,
+    cache_k: jnp.ndarray,
+    cache_v: jnp.ndarray,
+    *,
+    scale: Optional[float],
+    slot_mask: jnp.ndarray,
+    q_offset=None,
+    causal: bool = True,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """q: (B, H, C, D); cache_k/v: (B, S, H*D) E-contiguous; slot_mask: bool
+    (B, S). One grid program per batch row; the whole (S, E) K/V block
+    streams through VMEM once (no (B,S,E)->(B,H,S,D) relayout copies — the
+    XLA path's dominant HBM cost at batch). Returns (B, H, C, D) in
+    cache_v.dtype."""
+    B, H, C, D = q.shape
+    S, E = cache_k.shape[1], cache_k.shape[2]
+    assert E == H * D, (E, H, D)
+    scale = 1.0 if scale is None else float(scale)
+
+    Cp = _round_up(C, 8)
+    if Cp != C:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, Cp - C), (0, 0)))
+    if q_offset is None:
+        q_offset = 0
+    scalars = jnp.asarray(q_offset, jnp.int32).reshape(1)
+    mask_f = slot_mask.astype(jnp.float32)[:, None, :]  # (B, 1, S)
+
+    kernel = functools.partial(
+        _decode_kernel_v2,
+        scale=scale,
+        causal=causal,
+        n_heads=H,
+        head_dim=D,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec((1, H, Cp, D), lambda b, s: (b, 0, 0, 0)),
+                pl.BlockSpec((1, S, E), lambda b, s: (b, 0, 0)),
+                pl.BlockSpec((1, S, E), lambda b, s: (b, 0, 0)),
+                pl.BlockSpec((1, 1, S), lambda b, s: (b, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, H, Cp, D), lambda b, s: (b, 0, 0, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, H, Cp, D), cache_v.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(scalars, q, cache_k, cache_v, mask_f)
+    return out[:, :, :C, :]
+
+
+# Conservative VMEM budget for one v2 program: K/V blocks + fp32 scores and
+# their exp (2 live (H, Cp, S) fp32 values) + double-buffered streaming.
+_V2_VMEM_BUDGET = 10 << 20
+
+
+def _v2_fits(B, H, Cp, D, S, E, itemsize) -> bool:
+    kv = 2 * S * E * itemsize
+    scores = 2 * H * Cp * S * 4
+    return 2 * kv + scores <= _V2_VMEM_BUDGET
+
+
 def fused_cached_attention(
     q: jnp.ndarray,
     cache_k: jnp.ndarray,
@@ -268,37 +416,49 @@ def cached_attend(
     q_offset=None,
     causal: bool = True,
 ) -> jnp.ndarray:
-    """Dispatching entry: fused Pallas kernel on TPU, XLA oracle elsewhere.
+    """Dispatching entry: fused Pallas kernel (v2) on TPU, XLA oracle
+    elsewhere.
 
     q: (B, H, C, D); cache_k/v: (B, S, H*D); slot_mask: bool (B, S).
     valid_len: traced int32 — number of slots that may be attended (keys
     past it must be masked/causally excluded). None means all S slots.
+    Only the v1 kernel (kept as the block-skipping reference) uses it; the
+    dispatched v2 kernel streams the full capacity, which measured faster
+    at every production shape (see _decode_kernel_v2 docstring).
     """
     from vima_tpu.ops import attention as attn_mod
 
     B, H, C, D = q.shape
     S, E = cache_k.shape[1], cache_k.shape[2]
-    use_kernel = attn_mod.decode_kernel_enabled() and E == H * D and E % 128 == 0
+    Cp = _round_up(C, 8)
+    use_kernel = (
+        attn_mod.decode_kernel_enabled()
+        # strict_parity_mode: 'highest' means true-fp32 dots; the kernel's
+        # MXU dots use default (bf16-pass) precision, so route to XLA
+        and jax.config.jax_default_matmul_precision not in ("highest", "float32")
+        # at B=1 the XLA relayout copy is ~1 MB and the per-call pallas
+        # overhead outweighs it (measured +0.07 ms/step at B=1 on v5e)
+        and B >= 2
+        and E == H * D
+        and E % 128 == 0
+        and S % 128 == 0
+        and _v2_fits(B, H, Cp, D, S, E, cache_k.dtype.itemsize)
+    )
     if use_kernel:
         try:
             use_kernel = jax.default_backend() == "tpu"
         except Exception:
             use_kernel = False
-    bk = min(128, S)
-    if use_kernel and S % bk == 0:
+    if use_kernel:
         attn_mod._note_dispatch("decode", C, S)
-        if valid_len is None:
-            valid_len = jnp.int32(S)
-        return fused_cached_attention(
+        return fused_cached_attention_v2(
             q,
             cache_k,
             cache_v,
             scale=scale,
             slot_mask=slot_mask,
-            valid_len=valid_len,
             q_offset=q_offset,
             causal=causal,
-            block_k=bk,
         )
     return xla_cached_attend(
         q,
