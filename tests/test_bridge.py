@@ -236,6 +236,29 @@ def test_vendored_tokenizer_probe(tmp_path, monkeypatch):
     assert len(ids) == types.count(0)
 
 
+def test_offline_flag_still_prefers_vendored_asset(tmp_path, monkeypatch):
+    """``offline=True`` means "never touch the network / HF cache" — it must
+    NOT bypass a present vendored asset and force the hash fallback (a run
+    that could have used the real vocab would then refuse at require_real)."""
+    import vima_tpu.bridge.tokenizer as tok_mod
+    from tokenizers import Tokenizer, models, pre_tokenizers
+
+    vocab = {w: i for i, w in enumerate(["<unk>", "lift", "the", "block"])}
+    t = Tokenizer(models.WordLevel(vocab, unk_token="<unk>"))
+    t.pre_tokenizer = pre_tokenizers.Whitespace()
+    asset = tmp_path / "t5-base-tokenizer.json"
+    t.save(str(asset))
+
+    monkeypatch.setattr(tok_mod, "VENDORED_TOKENIZER", asset)
+    ptok = tok_mod.PromptTokenizer(tokenizer_path=None, offline=True)
+    assert not ptok.using_fallback
+    ptok.require_real()  # must not raise: the vendored vocab is offline
+    # and with no vendored asset, offline=True still means hash fallback
+    monkeypatch.setattr(tok_mod, "VENDORED_TOKENIZER", tmp_path / "missing.json")
+    ptok2 = tok_mod.PromptTokenizer(tokenizer_path=None, offline=True)
+    assert ptok2.using_fallback
+
+
 def test_golden_t5_ids_if_vendored():
     """When the real t5-base asset is vendored, the production tokenizer
     must reproduce the recorded golden encoding exactly (ids, types and

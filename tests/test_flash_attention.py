@@ -19,11 +19,12 @@ def _mk(rng, B, H, Lq, Lk, D):
 
 
 def xla_ref(q, k, v, **kw):
+    prev = attention.flash_enabled()
     attention.set_flash_enabled(False)
     try:
         return attention.attend(q, k, v, **kw)
     finally:
-        attention.set_flash_enabled(True)
+        attention.set_flash_enabled(prev)
 
 
 @pytest.mark.parametrize(
@@ -143,13 +144,48 @@ def test_fused_mxu_bf16_matches_rounded_xla():
     )
 
 
-def test_flash_gate_respects_strict_parity():
+def test_flash_gate_respects_strict_parity(monkeypatch):
     """strict_parity_mode (highest matmul precision) must route every shape
     to the XLA path — the fused kernel's bf16-rounded MXU dots would
-    silently degrade a parity run."""
+    silently degrade a parity run. The backend is monkeypatched to 'tpu' so
+    the assertion exercises the precision gate, not the backend gate (on
+    the CPU test host _flash_eligible would return False regardless)."""
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     q = jnp.zeros((1, 1, 128, 32), jnp.float32)
+    prev = attention.flash_enabled()
+    attention.set_flash_enabled(True)  # round-4 default is OFF (XLA faster)
+    try:
+        # sanity: the shape IS flash-eligible at default precision on "tpu"
+        assert attention._flash_eligible(q, q, None)
+        with attention.strict_parity_mode():
+            assert not attention._flash_eligible(q, q, None)
+        # intermediate elevated precisions must also route to XLA
+        with jax.default_matmul_precision("tensorfloat32"):
+            assert not attention._flash_eligible(q, q, None)
+    finally:
+        attention.set_flash_enabled(prev)
+
+
+def test_decode_gate_respects_strict_parity(monkeypatch):
+    """Same precision gate for the decode kernel's cached_attend dispatch:
+    under elevated matmul precision the fused v2 kernel must not be used."""
+    from vima_tpu.ops import decode_attention as da
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    calls = []
+    monkeypatch.setattr(
+        da, "fused_cached_attention_v2", lambda *a, **k: calls.append("kernel")
+    )
+    monkeypatch.setattr(da, "xla_cached_attend", lambda *a, **k: calls.append("xla"))
+    B, H, C, D, S = 4, 12, 17, 64, 512
+    q = jnp.zeros((B, H, C, D), jnp.float32)
+    ck = jnp.zeros((B, S, H * D), jnp.float32)
+    sm = jnp.ones((B, S), bool)
     with attention.strict_parity_mode():
-        assert not attention._flash_eligible(q, q, None)
+        da.cached_attend(q, ck, ck, scale=1.0, slot_mask=sm, q_offset=0)
+    assert calls == ["xla"]
+    da.cached_attend(q, ck, ck, scale=1.0, slot_mask=sm, q_offset=0)
+    assert calls == ["xla", "kernel"]
 
 
 @pytest.mark.parametrize("flavor", ["causal", "t5_bias"])

@@ -64,7 +64,10 @@ class PromptTokenizer:
         self._vocab_size = vocab_size
         if tokenizer_path is not None:
             self._tok = self._load_hf(tokenizer_path)
-        elif not offline and VENDORED_TOKENIZER.is_file():
+        elif VENDORED_TOKENIZER.is_file():
+            # The vendored asset is itself offline — ``offline=True`` only
+            # means "never touch the network / HF cache", so a present
+            # vendored vocab is always preferred over the hash fallback.
             self._tok = self._load_hf(str(VENDORED_TOKENIZER))
         elif not offline:
             # Probe the local HF cache first: on a zero-egress host the

@@ -16,10 +16,14 @@ QK logits and softmax always run in fp32 (parity-critical; every reference
 attention casts q,k to fp32); probs are cast back to the value dtype for
 the PV matmul so bf16 inference keeps the MXU fed.
 
-Dispatch: on TPU, shapes with a large enough score tile route to the fused
-Pallas kernel (vima_tpu.ops.flash_attention) — zero HBM traffic for
-scores/probs; everything else takes the XLA path below (for tiny ViT-crop
-sequences XLA's fusion is already optimal).
+Dispatch: the XLA path below is the production default for every
+full-sequence flavor — measured honestly (two-chain-length raw totals,
+round 4) XLA:TPU's own fusion beats the Pallas flash kernel ~2x at the
+largest shapes this framework uses (see _USE_FLASH). The fused kernel
+(vima_tpu.ops.flash_attention) remains available via set_flash_enabled.
+The KV-cache chunk attends route separately through
+ops.decode_attention.cached_attend, whose Pallas kernel DOES win (the XLA
+cached path pays a per-step cache relayout copy) and is default-ON.
 """
 
 from __future__ import annotations
@@ -33,11 +37,17 @@ import jax.numpy as jnp
 NEG_1E4 = -1e4  # reference causal mask constant (components.py:63)
 F32_MIN = float(jnp.finfo(jnp.float32).min)  # reference padding mask constant
 
-_USE_FLASH = True
-# Kernel dispatch domain: measured on v5e-1, the fused kernel wins on large
-# score tiles (full-sequence training/parity passes, long prompt encodes);
-# for tiny-q KV-cache chunks (Lq~17) XLA's fusion is equal-or-better, so
-# require a real q extent too.
+# Default OFF: the honest two-chain-length raw-total measurement (round 4,
+# bench _bench_flash_kernel, production-pattern chains) puts the fused
+# kernel at 0.44x (fp32) / 0.49x (bf16) of the XLA path at the
+# full-sequence showcase shape (B=8, H=12, L=512, D=64) — XLA:TPU already
+# fuses softmax into the attention matmuls at these sizes and never
+# materializes the probs in HBM, so the kernel's premise doesn't hold.
+# (Round 3's published 1.28x came from a single-chain-minus-RTT method the
+# volatile ~30 ms tunnel RTT invalidates.) The kernel stays as an
+# explicitly-enable path and for the record; the decode kernel
+# (ops/decode_attention) is a different story — it wins 2.3-4.5x and is ON.
+_USE_FLASH = False
 _FLASH_MIN_Q = 64
 _FLASH_MIN_SCORE_TILE = 64 * 64
 
@@ -133,15 +143,17 @@ def _causal_allowed(q_len: int, k_len: int, q_offset) -> jnp.ndarray:
 def _flash_eligible(q, k, q_offset) -> bool:
     if not _USE_FLASH:
         return False
+    # Under any elevated matmul precision (strict_parity_mode's 'highest',
+    # but also 'float32'/'high'/'tensorfloat32') the fused kernel's
+    # bf16-rounded MXU dots would silently downgrade precision; the XLA
+    # path honors the precision config, so route there. Checked before the
+    # backend so the gate is testable off-TPU.
+    if jax.config.jax_default_matmul_precision not in (None, "default", "bfloat16"):
+        return False
     try:
         if jax.default_backend() != "tpu":
             return False
     except Exception:
-        return False
-    # Under strict_parity_mode (highest matmul precision) the fused kernel's
-    # bf16-rounded MXU dots would silently downgrade precision; the XLA path
-    # honors the precision config, so route there.
-    if jax.config.jax_default_matmul_precision in ("highest", "float32"):
         return False
     # The custom_vjp wrapper needs q_offset static (it is a nondiff arg);
     # traced offsets only occur on KV-cache chunk shapes, which are below

@@ -12,8 +12,12 @@ to head-split (B, H, S, D) before its dot — a 100 MB copy per cache per
 step at B=64 that the round-3 HLO audit measured at 69% of the step's
 materialized HBM writes — while alternative cache layouts that avoid the
 copy ((B,H,S,D), (B,H,D,S)) measured 2.3x *worse* due to lane padding or
-relayouts inside the dots. v2 on v5e: 0.095 ms bf16 / 0.217 ms fp32 per
-layer-pair in-context vs 0.380 / 0.446 for the barrier+XLA path. **v1**
+relayouts inside the dots. v2 on v5e, measured at the production access
+pattern (chunk DUS into the cache at a moving write index + barrier +
+attend, caches threaded through the scan carry; two-chain-length raw
+totals, round 4): 0.168 ms bf16 / 0.366 fp32 per attend vs 0.761 / 0.848
+for the barrier+XLA path — **4.5x / 2.3x**, which is why the dispatch
+default is ON (ops.attention._USE_DECODE_KERNEL). **v1**
 (``fused_cached_attention``) is the earlier k-blocked online-softmax kernel
 with valid-prefix block skipping; it loses in-context (grid B x n_kb
 programs each running per-head op chains — issue-overhead bound) and is
@@ -180,9 +184,9 @@ def _decode_kernel_v2(
     """One program per batch row; K/V streamed whole; scores for ALL heads
     stacked (H, Cp, S) so the mask/softmax chain runs as a handful of big
     vector ops instead of H per-head chains (v1's failure mode: 256 programs
-    x 12 head-loops of tiny VPU ops = issue-overhead bound; measured v5e
-    0.49-0.58 ms per layer-pair in-context vs XLA 0.38). v2 measured
-    0.095 ms bf16 / 0.217 fp32 at B=64,S=512,E=768,C=17 — the op is
+    x 12 head-loops of tiny VPU ops = issue-overhead bound; round-4
+    production-pattern numbers: v1 0.549-0.593 ms vs v2 0.168 bf16 /
+    0.366 fp32 vs XLA 0.761/0.848 at B=64,S=512,E=768,C=17). The op is
     memory-bound (17 FLOP/byte vs v5e's 240), so whole-cache streaming with
     one pass and VMEM-resident scores is ~speed-of-light."""
     wi = scalars_ref[0]
@@ -239,8 +243,9 @@ def fused_cached_attention_v2(
     """q: (B, H, C, D); cache_k/v: (B, S, H*D) E-contiguous; slot_mask: bool
     (B, S). One grid program per batch row; the whole (S, E) K/V block
     streams through VMEM once (no (B,S,E)->(B,H,S,D) relayout copies — the
-    XLA path's dominant HBM cost at batch). Returns (B, H, C, D) in
-    cache_v.dtype."""
+    XLA path's dominant HBM cost at batch). q_offset defaults to S - C
+    (attend's Lk - Lq convention, so omitting it gives the same causal mask
+    as the XLA fallback). Returns (B, H, C, D) in cache_v.dtype."""
     B, H, C, D = q.shape
     S, E = cache_k.shape[1], cache_k.shape[2]
     assert E == H * D, (E, H, D)
@@ -250,7 +255,7 @@ def fused_cached_attention_v2(
     if Cp != C:
         q = jnp.pad(q, ((0, 0), (0, 0), (0, Cp - C), (0, 0)))
     if q_offset is None:
-        q_offset = 0
+        q_offset = S - C
     scalars = jnp.asarray(q_offset, jnp.int32).reshape(1)
     mask_f = slot_mask.astype(jnp.float32)[:, None, :]  # (B, 1, S)
 
@@ -433,9 +438,11 @@ def cached_attend(
     Cp = _round_up(C, 8)
     use_kernel = (
         attn_mod.decode_kernel_enabled()
-        # strict_parity_mode: 'highest' means true-fp32 dots; the kernel's
-        # MXU dots use default (bf16-pass) precision, so route to XLA
-        and jax.config.jax_default_matmul_precision not in ("highest", "float32")
+        # Any elevated matmul precision (strict_parity_mode's 'highest',
+        # 'float32', 'high', 'tensorfloat32', ...) means the caller wants
+        # more than bf16-pass dots; the kernel's MXU dots are always
+        # default (bf16-pass) precision, so only dispatch at default.
+        and jax.config.jax_default_matmul_precision in (None, "default", "bfloat16")
         # at B=1 the XLA relayout copy is ~1 MB and the per-call pallas
         # overhead outweighs it (measured +0.07 ms/step at B=1 on v5e)
         and B >= 2

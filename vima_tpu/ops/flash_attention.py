@@ -1,31 +1,44 @@
-"""Fused attention Pallas kernel for TPU.
+"""Fused attention Pallas kernel for TPU. **Not dispatched by default.**
+
+Status (round-4 honest measurement, two-chain-length raw totals at the
+full-sequence showcase shape B=8, H=12, L=512, D=64 on v5e): this kernel
+runs at 0.44x (fp32) / 0.49x (bf16) of the XLA path — XLA:TPU's own
+fusion already keeps scores/probs in VMEM at these sizes, so the kernel's
+founding premise (that XLA round-trips the probs through HBM) is false
+here, and the XLA path is the production default
+(ops.attention._USE_FLASH = False; enable explicitly via
+set_flash_enabled). Kept because it is correct, tested, and the starting
+point for shapes where single-pass VMEM attention *does* win (much longer
+sequences than this framework's 512-cap needs).
 
 Design: at this framework's sequence lengths (stream <= 512, prompt <= 256
 — hard caps inherited from the reference, xattn_gpt.py:18,25) the whole K/V
-for one (batch, head) fits comfortably in VMEM, so the optimal kernel is a
+for one (batch, head) fits comfortably in VMEM, so the kernel is a
 single-pass fused attention: per (b, h, q-block) grid cell, compute the
 full fp32 score row block in VMEM, softmax exactly (no online/streaming
-rescaling needed), and hit the MXU twice (QK^T and PV) — zero HBM traffic
-for scores/probs, which is what the unfused XLA path pays (the probs
-round-trip is the dominant HBM cost at these sizes).
+rescaling needed), and hit the MXU twice (QK^T and PV).
 
-Numerics are bit-compatible with vima_tpu.ops.attention.attend's XLA path:
-fp32 logits, causal fill ``-1e4`` (reference components.py:63), fp32-min
-additive key-padding mask, probs cast to the value dtype before PV.
+Numerics: fp32 logits/softmax, causal fill ``-1e4`` (reference
+components.py:63), fp32-min additive key-padding mask. With
+``mxu_bf16=False`` the kernel is bit-compatible with
+vima_tpu.ops.attention.attend's XLA path under 'highest' precision (probs
+cast to the value dtype before PV); that mode exists for exactness tests.
+The production default ``mxu_bf16=True`` instead reproduces XLA's
+*default* matmul precision semantics — fp32 operands rounded to bf16, one
+MXU pass, fp32 accumulation — because true-fp32 MXU matmuls run as ~6 slow
+passes (measured round 2: 0.75x vs XLA at L=512). In that mode the softmax
+numerator is normalized *after* the PV matmul (cheaper by ~Lk/D on the
+VPU; same relative bf16 rounding error), so outputs agree with XLA's
+default-precision path to bf16 tolerance, not bitwise. The dispatcher
+(:func:`vima_tpu.ops.attention._flash_eligible`) routes to XLA under any
+elevated matmul precision (``strict_parity_mode``) so parity runs stay
+exact.
 
-MXU precision (``mxu_bf16``, default True): with fp32 operands the TPU MXU
-runs true-fp32 matmuls as ~6 slow passes, while XLA's *default* matmul
-precision rounds fp32 operands to bf16 and does ONE pass with fp32
-accumulation — so a kernel that feeds the MXU raw fp32 loses to the XLA
-path on speed while being *more* precise than it (measured round 2:
-0.75x at L=512). ``mxu_bf16=True`` reproduces XLA's default-precision
-semantics (operands rounded to bf16, fp32 accumulate) inside the kernel;
-the dispatcher disables the fused path entirely under
-``strict_parity_mode`` (highest precision) so parity runs stay exact.
-
-The causal q_offset for KV-cache chunks arrives as a scalar-prefetch
-argument (SMEM), so the cached rollout path uses the same kernel with a
-traced write index.
+The causal q_offset arrives as a scalar-prefetch argument (SMEM), so the
+kernel itself supports a traced offset; the *dispatcher* requires a static
+(Python int / None) q_offset because the custom_vjp wrapper needs it
+hashable — traced offsets only occur on KV-cache chunk shapes, which are
+below the flash gate anyway and use ops.decode_attention instead.
 """
 
 from __future__ import annotations
