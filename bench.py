@@ -496,6 +496,7 @@ def _bench_decode_kernel(rtt, H=12, D=64, S=512, C=17):
     from vima_tpu.ops.decode_attention import (
         fused_cached_attention,
         fused_cached_attention_v2,
+        fused_cached_attention_v3,
         xla_cached_attend,
     )
 
@@ -543,6 +544,10 @@ def _bench_decode_kernel(rtt, H=12, D=64, S=512, C=17):
             "kernel_v2": lambda c, k, v, wi: fused_cached_attention_v2(
                 c, k, v, scale=1 / 8.0, slot_mask=sm, q_offset=wi, causal=True,
             ),
+            "kernel_v3": lambda c, k, v, wi: fused_cached_attention_v3(
+                c, k, v, scale=1 / 8.0, slot_mask=sm, valid_len=wi + C,
+                q_offset=wi, causal=True,
+            ),
             "kernel_v1": lambda c, k, v, wi: fused_cached_attention(
                 c, k, v, scale=1 / 8.0, slot_mask=sm, valid_len=wi + C,
                 q_offset=wi, causal=True,
@@ -564,11 +569,15 @@ def _bench_decode_kernel(rtt, H=12, D=64, S=512, C=17):
 
 
 def _bench_closed_loop(policy, params, capacity, n_envs=8, ep_steps=20):
-    """Full host+device closed loop on fake envs (pipelined env_loop):
-    wall time per policy dispatch vs the device-only chain at the same
-    stream batch, swept over the pipeline stream count (the knob that hides
-    the tunnel RTT; ``auto`` is the production default — it tunes itself
-    from the previous call's measured period/device-step ratio)."""
+    """Full host+device closed loop on fake envs (pipelined env_loop).
+
+    Swept over the ENV COUNT, not the stream count: the round-3 stream
+    sweep proved streams are a dead end at 8 envs (~180 steps/s flat 1..8
+    streams) because each dispatch pays device_step + tunnel RTT (~41 ms)
+    regardless — while the device itself does ~4k env-steps/s at B=64. The
+    lever is envs per dispatch (VERDICT r3 item 4); ``auto`` streams then
+    pipeline host prep against the device+RTT. Reports the 8-env point for
+    r3 comparability and the 64-env headline."""
     import jax
     import jax.numpy as jnp
 
@@ -579,10 +588,10 @@ def _bench_closed_loop(policy, params, capacity, n_envs=8, ep_steps=20):
 
     tok = PromptTokenizer(None, vocab_size=policy.vocab_size, offline=True)
 
-    def make_envs():
+    def make_envs(n):
         return [
             FakeVimaEnv(seed=i, n_objects=N_OBJS, oracle_max_steps=ep_steps)
-            for i in range(n_envs)
+            for i in range(n)
         ]
 
     # capacity=None: the loop auto-sizes the KV cache to the episode limit
@@ -592,17 +601,17 @@ def _bench_closed_loop(policy, params, capacity, n_envs=8, ep_steps=20):
 
     capacity = min(MAX_CAPACITY, _ceil_to((ep_steps + 2) * (1 + 2 * N_OBJS), CAPACITY_BUCKET))
     kwargs = dict(tokenize_prompt=tok, max_objs=N_OBJS, capacity=None, env_workers=4)
-    stream_sweep = {}
-    for ns in (1, 2, 4, None):  # None = auto-tune (tunes off the runs above)
-        run_episode_batch(policy, params, make_envs(), n_streams=ns, **kwargs)  # compile
+    env_sweep = {}
+    for ne in (8, 32, 64):
+        run_episode_batch(policy, params, make_envs(ne), **kwargs)  # compile+tune
         t0 = time.perf_counter()
-        res = run_episode_batch(policy, params, make_envs(), n_streams=ns, **kwargs)
+        res = run_episode_batch(policy, params, make_envs(ne), **kwargs)
         w = time.perf_counter() - t0
-        stream_sweep["auto" if ns is None else str(ns)] = {
+        env_sweep[str(ne)] = {
             "n_streams": res[0]["n_streams"],
             "env_steps_per_sec": round(sum(r["steps"] for r in res) / w, 1),
         }
-        if ns is None:
+        if ne == n_envs:
             results, wall = res, w
     total_env_steps = sum(r["steps"] for r in results)
     dispatches = results[0]["dispatches"]
@@ -663,7 +672,7 @@ def _bench_closed_loop(policy, params, capacity, n_envs=8, ep_steps=20):
         "n_envs": n_envs,
         "n_streams": results[0]["n_streams"],
         "dispatches": dispatches,
-        "stream_sweep": stream_sweep,
+        "env_sweep": env_sweep,
     }
 
 
@@ -769,10 +778,11 @@ def _bench_detector(rtt):
 def _bench_train(rtt):
     """BC training throughput on the single chip: steps/s, env-steps/s and
     est. MFU at fp32 vs bf16 compute (vima-20m by default; BENCH_TRAIN_MODEL
-    overrides). The reference has no trainer at all (its train-only code
-    paths are vestigial, reference vima/nn/prompt_encoder/
-    prompt_encoder.py:376-400) — this number carries the framework's own
-    added capability."""
+    overrides), plus a 200M-class bf16+remat step (the scale the released
+    flagship was trained at — reference model-card.md:27). The reference
+    has no trainer at all (its train-only code paths are vestigial,
+    reference vima/nn/prompt_encoder/prompt_encoder.py:376-400) — this
+    number carries the framework's own added capability."""
     import tempfile
 
     import jax
@@ -808,7 +818,15 @@ def _bench_train(rtt):
         peak = next(
             (v for k, v in _PEAK_FLOPS.items() if k.lower() in device_kind.lower()), None
         )
-        for dtype_name, dtype in (("fp32", jnp.float32), ("bf16", jnp.bfloat16)):
+        variants = [
+            ("fp32", jnp.float32, model, False),
+            ("bf16", jnp.bfloat16, model, False),
+        ]
+        if not os.environ.get("BENCH_TINY") and model != "vima-200m":
+            # the 200M-class config the released flagship was trained at:
+            # bf16 compute + rematerialized blocks (grad memory)
+            variants.append(("200m_bf16_remat", jnp.bfloat16, "vima-200m", True))
+        for dtype_name, dtype, vmodel, vremat in variants:
             if os.environ.get("BENCH_TINY"):
                 from vima_tpu.nn.t5 import T5Config
                 from vima_tpu.policy.vima import VIMAPolicy
@@ -823,7 +841,7 @@ def _bench_train(rtt):
                     ),
                 )
             else:
-                policy = get_config(model).build(dtype=dtype)
+                policy = get_config(vmodel).build(dtype=dtype, remat=vremat)
             ds = TrajectoryDataset(
                 tmp, max_steps=TT, max_objs=N_OBJS, prompt_len=64,
                 **dataset_kwargs_for_policy(policy),
@@ -862,7 +880,7 @@ def _bench_train(rtt):
             except Exception as e:
                 print(f"[bench] train cost_analysis unavailable: {e!r}", file=sys.stderr)
             out[dtype_name] = entry
-            _phase(f"train {dtype_name} {model}")
+            _phase(f"train {dtype_name} {vmodel}")
     return out
 
 
@@ -976,10 +994,14 @@ def main():
         "b64_bf16_ms": _get(ours, "batched", "64", "bf16", "step_ms_p50"),
         "b64_bf16_mfu": _get(ours, "batched", "64", "bf16", "est_mfu"),
         "closed_loop_sps": _get(ours, "closed_loop_8env", "env_steps_per_sec"),
+        "closed_loop64_sps": _get(
+            ours, "closed_loop_8env", "env_sweep", "64", "env_steps_per_sec"
+        ),
         "decode_v2_x": _get(ours, "decode_kernel", "bf16_speedup_v2"),
         "flash_x": _get(ours, "flash_kernel", "bf16_speedup"),
         "detector_ms": _get(ours, "detector", "detect_ms_p50"),
         "train_bf16_mfu": _get(ours, "train", "bf16", "est_mfu"),
+        "train_200m_mfu": _get(ours, "train", "200m_bf16_remat", "est_mfu"),
     }
     result = {
         "metric": f"p50_step_latency_{MODEL}",

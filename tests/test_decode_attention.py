@@ -15,6 +15,7 @@ import pytest
 from vima_tpu.ops.decode_attention import (
     fused_cached_attention,
     fused_cached_attention_v2,
+    fused_cached_attention_v3,
     xla_cached_attend,
 )
 
@@ -31,6 +32,8 @@ def _fused(impl):
     """Uniform call shim: v2 takes no valid_len/block_k."""
     if impl == "v1":
         return fused_cached_attention
+    if impl == "v3":
+        return fused_cached_attention_v3
 
     def v2(q, ck, cv, *, valid_len=None, block_k=None, **kw):
         return fused_cached_attention_v2(q, ck, cv, **kw)
@@ -38,7 +41,7 @@ def _fused(impl):
     return v2
 
 
-@pytest.mark.parametrize("impl", ["v1", "v2"])
+@pytest.mark.parametrize("impl", ["v1", "v2", "v3"])
 @pytest.mark.parametrize("write_index", [0, 5, 37, 239])
 def test_causal_matches_oracle(rng, write_index, impl):
     q, ck, cv = _mk(rng)
@@ -64,16 +67,18 @@ def test_causal_matches_oracle(rng, write_index, impl):
     np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_x), atol=2e-5)
 
 
-@pytest.mark.parametrize("impl", ["v1", "v2"])
-def test_cross_matches_oracle(rng, impl):
+@pytest.mark.parametrize("Lp", [32, 36])  # 36: unaligned prompt length
+@pytest.mark.parametrize("impl", ["v1", "v2", "v3"])
+def test_cross_matches_oracle(rng, impl, Lp):
+    if impl in ("v1", "v3") and Lp % 8:
+        pytest.skip("blocked kernels require block-aligned S")
     q, _, _ = _mk(rng)
     B, H, C, D = q.shape
     E = H * D
-    Lp = 32
     pk = jnp.asarray(rng.normal(size=(B, Lp, E)), jnp.float32)
     pv = jnp.asarray(rng.normal(size=(B, Lp, E)), jnp.float32)
     pm = np.ones((B, Lp), bool)
-    pm[:, 20:] = False
+    pm[:, Lp - 12 :] = False
     pm = jnp.asarray(pm)
     with jax.default_matmul_precision("highest"):
         out_k = _fused(impl)(
@@ -86,7 +91,7 @@ def test_cross_matches_oracle(rng, impl):
     np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_x), atol=2e-5)
 
 
-@pytest.mark.parametrize("impl", ["v1", "v2"])
+@pytest.mark.parametrize("impl", ["v1", "v2", "v3"])
 def test_block_skipping_is_exact(rng, impl):
     """Keys past valid_len are causally/mask-excluded (exp underflows to
     exactly 0), so skipping whole k-blocks must be bit-neutral vs attending
@@ -112,7 +117,7 @@ def test_block_skipping_is_exact(rng, impl):
     np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_x), atol=2e-5)
 
 
-@pytest.mark.parametrize("impl", ["v1", "v2"])
+@pytest.mark.parametrize("impl", ["v1", "v2", "v3"])
 def test_bf16_cache(rng, impl):
     q, ck, cv = _mk(rng)
     B, H, C, D = q.shape
@@ -139,7 +144,7 @@ def test_bf16_cache(rng, impl):
     )
 
 
-@pytest.mark.parametrize("impl", ["v1", "v2"])
+@pytest.mark.parametrize("impl", ["v1", "v2", "v3"])
 def test_step0_all_masked_row_is_finite(rng, impl):
     """Step 0's dummy action slot: its row attends only to masked keys; the
     output must stay finite (it is never consumed downstream), and the real

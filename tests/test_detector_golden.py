@@ -20,7 +20,7 @@ import pytest
 FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures", "detector_golden.npz")
 CKPT_ENV = "VIMA_TPU_DETECTOR_CKPT"
 
-pytestmark = pytest.mark.skipif(
+needs_fixture = pytest.mark.skipif(
     not (os.path.exists(FIXTURE) and os.environ.get(CKPT_ENV)),
     reason=f"needs {FIXTURE} + ${CKPT_ENV} (see tools/gen_detector_golden.py)",
 )
@@ -38,6 +38,8 @@ def _iou(a, b):
 
 @pytest.fixture(scope="module")
 def golden():
+    if not os.path.exists(FIXTURE):
+        pytest.skip("no fixture")
     return dict(np.load(FIXTURE, allow_pickle=False))
 
 
@@ -63,6 +65,7 @@ def ours(golden):
     return out
 
 
+@needs_fixture
 def test_detections_match_torchvision(golden, ours):
     """Every confident golden detection must be reproduced: same label, box
     IoU >= 0.9, score within 0.02."""
@@ -85,6 +88,7 @@ def test_detections_match_torchvision(golden, ours):
     assert matched == int(keep.sum())
 
 
+@needs_fixture
 def test_masks_match_torchvision(golden, ours):
     """Pasted binarized masks of matched detections agree (IoU >= 0.95)."""
     from vima_tpu.bridge.detector import _np_bilinear_resize
@@ -122,3 +126,84 @@ def test_masks_match_torchvision(golden, ours):
         inter = (pasted & gm).sum()
         union = (pasted | gm).sum()
         assert union == 0 or inter / union >= 0.95, f"mask IoU {inter / union:.3f}"
+
+
+# ---------------------------------------------------------------------------
+# Tiny-geometry composed-graph golden: runs UN-gated in every CI pass.
+# The reference is tests/torch_maskrcnn_ref.py — the same torchvision
+# inference semantics re-composed from torch operators + loop-based
+# geometry on the raw state dict, so backbone wiring, converter layouts,
+# RPN selection, RoI level routing, NMS and the mask head are all checked
+# end to end without torchvision (VERDICT r3 item 7).
+# ---------------------------------------------------------------------------
+
+
+def _tiny_cfg():
+    from tests.test_maskrcnn import TINY
+
+    return {
+        **TINY,
+        "anchor_ratios": (0.5, 1.0, 2.0),
+        "rpn_nms_thresh": 0.7,
+        "box_score_thresh": 0.05,
+        "box_nms_thresh": 0.5,
+    }
+
+
+@pytest.fixture(scope="module")
+def tiny_pair():
+    import jax
+    import jax.numpy as jnp
+
+    from tests.test_maskrcnn import TINY, _fake_torchvision_sd
+    from tests.torch_maskrcnn_ref import torch_maskrcnn_forward
+    from vima_tpu.ckpt.detector_convert import convert_maskrcnn
+    from vima_tpu.nn.maskrcnn import MaskRCNN
+
+    cfg = _tiny_cfg()
+    sd = _fake_torchvision_sd(TINY, False, np.random.RandomState(42))
+    img = np.random.RandomState(43).rand(64, 64, 3).astype(np.float32)
+
+    ref = torch_maskrcnn_forward(sd, img, cfg)
+
+    params, _ = convert_maskrcnn(sd)
+    model = MaskRCNN(**TINY)
+    out = jax.jit(model.apply)(
+        jax.tree_util.tree_map(jnp.asarray, params),
+        jnp.asarray(img),
+        jnp.asarray([64.0, 64.0]),
+    )
+    ours = {k: np.asarray(v) for k, v in out.items()}
+    return ref, ours
+
+
+def test_tiny_composed_detections_match(tiny_pair):
+    ref, ours = tiny_pair
+    n_ours = int(ours["valid"].sum())
+    assert len(ref["scores"]) > 0, "composed reference found no detections"
+    assert n_ours == len(ref["scores"])
+    for rb, rs, rl in zip(ref["boxes"], ref["scores"], ref["labels"]):
+        cands = [
+            i
+            for i in range(len(ours["boxes"]))
+            if ours["valid"][i]
+            and int(ours["labels"][i]) == int(rl)
+            and _iou(ours["boxes"][i], rb) >= 0.98
+        ]
+        assert cands, f"ref det label={rl} score={rs:.4f} box={rb} unmatched"
+        best = max(cands, key=lambda i: _iou(ours["boxes"][i], rb))
+        assert abs(float(ours["scores"][best]) - float(rs)) < 1e-3
+
+
+def test_tiny_composed_masks_match(tiny_pair):
+    ref, ours = tiny_pair
+    for rb, rm in zip(ref["boxes"], ref["masks"]):
+        cands = [
+            i
+            for i in range(len(ours["boxes"]))
+            if ours["valid"][i] and _iou(ours["boxes"][i], rb) >= 0.98
+        ]
+        if not cands:
+            continue  # reported by the boxes test
+        i = max(cands, key=lambda i: _iou(ours["boxes"][i], rb))
+        np.testing.assert_allclose(ours["masks"][i], rm, atol=2e-3)

@@ -318,6 +318,74 @@ def test_jax_detector_in_obs_loop(tiny_model):
     assert prepared["objects"]["cropped_img"]["front"].shape == (1, 4, 3, 32, 32)
 
 
+def test_nms_candidates_cap_matches_exact():
+    """The box-stage candidate cap must not change results when the kept
+    set fits: top-k truncation only drops boxes that could never win."""
+    from vima_tpu.nn.maskrcnn import nms_padded
+
+    rng = np.random.RandomState(7)
+    n = 120
+    xy = rng.uniform(0, 80, (n, 2))
+    wh = rng.uniform(2, 30, (n, 2))
+    boxes = np.concatenate([xy, xy + wh], axis=1).astype(np.float32)
+    scores = rng.uniform(0.01, 1.0, n).astype(np.float32)
+    valid = np.ones(n, bool)
+    exact = jax.jit(lambda b, s: nms_padded(b, s, valid, 0.5, 10))(boxes, scores)
+    capped = jax.jit(
+        lambda b, s: nms_padded(b, s, valid, 0.5, 10, candidates=60)
+    )(boxes, scores)
+    # identical as long as the 10 winners all sit inside the top-60 scores
+    np.testing.assert_array_equal(np.asarray(exact[2]), np.asarray(capped[2]))
+    kv = np.asarray(exact[2])
+    np.testing.assert_array_equal(np.asarray(exact[0])[kv], np.asarray(capped[0])[kv])
+
+
+def test_nms_topk_exceeds_candidates_pads():
+    from vima_tpu.nn.maskrcnn import nms_padded
+
+    rng = np.random.RandomState(8)
+    boxes = np.array([[0, 0, 10, 10], [50, 50, 60, 60], [100, 100, 110, 110]], np.float32)
+    scores = np.array([0.9, 0.8, 0.7], np.float32)
+    idx, ks, valid = jax.jit(
+        lambda b, s: nms_padded(b, s, np.ones(3, bool), 0.5, 6, candidates=2)
+    )(boxes, scores)
+    assert idx.shape == (6,) and ks.shape == (6,) and valid.shape == (6,)
+    assert list(np.asarray(valid)) == [True, True, False, False, False, False]
+    assert list(np.asarray(idx)[:2]) == [0, 1]
+
+
+def test_device_paste_matches_host_paste(tiny_model):
+    """The in-jit segm pasting must reproduce the host per-object loop
+    (torchvision paste_masks_in_image semantics) bit-for-bit."""
+    from vima_tpu.bridge.detector import JaxMaskRCNNDetector
+
+    model, params = tiny_model
+    rng = np.random.RandomState(11)
+    rgb = {
+        "front": rng.randint(0, 255, (3, 64, 128), dtype=np.uint8),
+        "top": rng.randint(0, 255, (3, 64, 128), dtype=np.uint8),
+    }
+    kw = dict(model=model, params=params, score_threshold=0.0, min_size=64, max_size=64)
+    dev = JaxMaskRCNNDetector(**kw).detect(rgb, {})
+    host = JaxMaskRCNNDetector(host_paste=True, **kw).detect(rgb, {})
+    for v in rgb:
+        np.testing.assert_array_equal(dev[v], host[v])
+
+
+def test_bf16_detector_smoke(tiny_model):
+    """bf16 compute dtype: same shapes/dtypes out, boxes near fp32."""
+    from vima_tpu.nn.maskrcnn import MaskRCNN
+
+    model, params = tiny_model
+    model16 = MaskRCNN(**{**TINY, "dtype": jnp.bfloat16})
+    img = np.random.RandomState(12).rand(64, 64, 3).astype(np.float32)
+    hw = jnp.asarray([64, 64], jnp.float32)
+    out = jax.jit(model16.apply)(params, img, hw)
+    assert out["boxes"].dtype == jnp.float32
+    assert out["masks"].dtype == jnp.float32
+    assert out["scores"].shape == (TINY["detections_per_img"],)
+
+
 # ---------------------------------------------------------------------------
 # torch-op cross-checks: torch (cpu) IS installed here, so the highest-risk
 # wiring claims (conv kernel layout, deconv semantics, bilinear paste) are

@@ -314,3 +314,52 @@ def test_perceiver_parity():
         ref_out = ref(torch.tensor(x), torch.tensor(mask)).numpy()
     out = ours.apply({"params": params}, jnp.asarray(x), jnp.asarray(mask))
     assert_close(out, ref_out, atol=5e-5, rtol=5e-5, what="perceiver")
+
+
+def test_vit_crop_packing_equality():
+    """Crop-packed attention (attn_pack>1) must reproduce the unpacked
+    outputs: every cross-crop logit is fp32-min-masked (exp -> exact 0),
+    so only fp-add re-association can differ — assert tight closeness,
+    and exact equality of argmax-ish structure via a small tolerance."""
+    from vima_tpu.nn.vit import ViTEncoder
+
+    rng = np.random.default_rng(17)
+    imgs = jnp.asarray(rng.integers(3, 255, size=(2, 7, 3, 32, 32)), jnp.uint8)
+
+    def run(pack):
+        enc = ViTEncoder(
+            img_size=(32, 32), patch_size=16, width=64, layers=2, heads=4,
+            output_dim=48, attn_pack=pack,
+        )
+        params = enc.init(jax.random.PRNGKey(0), imgs)
+        return params, enc.apply(params, imgs)
+
+    params1, out1 = run(1)
+    params4, out4 = run(4)  # 14 crops pad to 16 -> dummy rows exercised
+    # identical param trees (packing is a compute-shape change only)
+    assert jax.tree_util.tree_map(lambda x: x.shape, params1) == jax.tree_util.tree_map(
+        lambda x: x.shape, params4
+    )
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out4), rtol=2e-5, atol=2e-5)
+
+
+def test_vit_packing_disabled_under_strict_precision():
+    """strict_parity_mode must fall back to the unpacked (reference
+    reduction order) path: outputs bit-equal to attn_pack=1."""
+    from vima_tpu.nn.vit import ViTEncoder
+
+    rng = np.random.default_rng(18)
+    imgs = jnp.asarray(rng.integers(3, 255, size=(1, 5, 3, 32, 32)), jnp.uint8)
+    enc_packed = ViTEncoder(
+        img_size=(32, 32), patch_size=16, width=64, layers=2, heads=4,
+        output_dim=48, attn_pack=8,
+    )
+    enc_plain = ViTEncoder(
+        img_size=(32, 32), patch_size=16, width=64, layers=2, heads=4,
+        output_dim=48, attn_pack=1,
+    )
+    params = enc_plain.init(jax.random.PRNGKey(1), imgs)
+    with jax.default_matmul_precision("highest"):
+        a = enc_packed.apply(params, imgs)
+        b = enc_plain.apply(params, imgs)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -22,10 +22,10 @@ import numpy as np
 
 sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
 
-B = 64
+B = int(__import__("os").environ.get("LAB_B", "64"))
 N_OBJS = 8
 VIEWS = ("front", "top")
-MODEL = "vima-200m"
+MODEL = __import__("os").environ.get("LAB_MODEL", "vima-200m")
 N1, N2 = 6, 26
 REPS = 5
 
@@ -301,6 +301,129 @@ def exp_kernel():
         timed(make(kfn_e, q), (q, ck, cv), f"decode-attn kernel {dtn} valid=34")
 
 
+def exp_vitpack():
+    """Crop-packed ViT attention (attn_pack) vs unpacked, full obs path."""
+    import jax, jax.numpy as jnp
+    from vima_tpu.ckpt.registry import get_config
+    from vima_tpu.policy import init_params
+    from vima_tpu.ckpt.convert import cast_params
+    import dataclasses
+
+    rng = np.random.default_rng(7)
+    objects, ee = _step_inputs(rng)
+
+    def make(pol):
+        def mk(n):
+            @jax.jit
+            def f(params, objects, ee):
+                def body(acc, _):
+                    obj = jax.tree_util.tree_map(
+                        lambda x: x + acc.astype(jnp.uint8) if x.dtype == jnp.uint8 else x,
+                        objects,
+                    )
+                    tok, mask = pol.apply(params, obj, ee, method="forward_obs_token")
+                    return acc + tok[0, 0, 0].astype(jnp.float32), ()
+
+                acc, _ = jax.lax.scan(body, jnp.float32(0), None, length=n)
+                return acc
+
+            return f
+
+        return mk
+
+    for dtype_name, dtype in (("fp32", jnp.float32), ("bf16", jnp.bfloat16)):
+        pol, params = _policy(dtype)
+        for pack in (1, 8, 16, 32):
+            pol2 = dataclasses.replace(pol, vit_attn_pack=pack)
+            timed(make(pol2), (params, objects, ee), f"obs(ViT) pack={pack} B={B} {dtype_name}")
+
+
+def exp_xattn():
+    """Cross-attend (prompt KV, Lk=36) alone: XLA fallback vs v2 kernel."""
+    import jax, jax.numpy as jnp
+    from vima_tpu.ops.decode_attention import (
+        fused_cached_attention_v2, xla_cached_attend,
+    )
+
+    rng = np.random.default_rng(5)
+    H, D, C = 12, 64, 17
+    E = H * D
+    for Lp in (36, 128):
+        sm = jnp.ones((B, Lp), bool)
+        for dtn, dt in (("fp32", jnp.float32), ("bf16", jnp.bfloat16)):
+            q = jnp.asarray(rng.normal(size=(B, H, C, D)), dt)
+            pk = jnp.asarray(rng.normal(size=(B, Lp, E)), dt)
+            pv = jnp.asarray(rng.normal(size=(B, Lp, E)), dt)
+
+            def make(fn):
+                def mk(n):
+                    @jax.jit
+                    def f(q, pk, pv):
+                        def body(c, _):
+                            out = fn(c, pk, pv)
+                            return (out * 0.999 + c * 0.001).astype(q.dtype), ()
+
+                        out, _ = jax.lax.scan(body, q, None, length=n)
+                        return out.sum()
+
+                    return f
+
+                return mk
+
+            xfn = lambda c, k, v: xla_cached_attend(
+                c, k, v, scale=1 / 8.0, slot_mask=sm, causal=False
+            )
+            timed(make(xfn), (q, pk, pv), f"xattn xla    {dtn} Lp={Lp} B={B}")
+            try:
+                kfn = lambda c, k, v: fused_cached_attention_v2(
+                    c, k, v, scale=1 / 8.0, slot_mask=sm, causal=False
+                )
+                timed(make(kfn), (q, pk, pv), f"xattn kernel {dtn} Lp={Lp} B={B}")
+            except Exception as e:
+                print(f"xattn kernel {dtn} Lp={Lp}: FAILED {type(e).__name__}: {e}")
+
+
+def exp_mlponly():
+    """The decoder's dense stack alone (no attends): 12x(qkv+proj+GEGLU)."""
+    import jax, jax.numpy as jnp
+
+    rng = np.random.default_rng(6)
+    C = 1 + 2 * N_OBJS
+    E = 768
+
+    for dtn, dt in (("fp32", jnp.float32), ("bf16", jnp.bfloat16)):
+        x0 = jnp.asarray(rng.normal(size=(B, C, E)), dt)
+        Ws = [
+            tuple(
+                jnp.asarray(rng.normal(size=shp) * 0.02, dt)
+                for shp in ((E, 3 * E), (E, E), (E, 4 * E), (4 * E, E), (E, 4 * E))
+            )
+            for _ in range(12)
+        ]
+
+        def mk(n):
+            @jax.jit
+            def f(x, Ws):
+                from vima_tpu.ops.layers import gelu_exact
+
+                def body(x, _):
+                    y = x
+                    for qkv, proj, fc, out_w, gate in Ws:
+                        h = y @ qkv
+                        q, k, v = jnp.split(h, 3, axis=-1)
+                        y = (q + k + v) @ proj + y
+                        n1 = gelu_exact(y @ fc) * (y @ gate)
+                        y = n1 @ out_w + y
+                    return (y * 0.999 + x * 0.001).astype(x.dtype), ()
+
+                y, _ = jax.lax.scan(body, x, None, length=n)
+                return y.sum()
+
+            return f
+
+        timed(mk, (x0, Ws), f"dense stack 12L {dtn} B={B}")
+
+
 def main():
     import jax
 
@@ -317,6 +440,9 @@ def main():
         "vit": exp_vit,
         "misc": exp_misc,
         "kernel": exp_kernel,
+        "xattn": exp_xattn,
+        "vitpack": exp_vitpack,
+        "mlponly": exp_mlponly,
     }
     for name, fn in table.items():
         if "all" in which or name in which:

@@ -55,15 +55,99 @@ def _np_bilinear_resize(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     return a * (1 - wy) * (1 - wx) + b * (1 - wy) * wx + c * wy * (1 - wx) + d * wy * wx
 
 
+def _paste_segm_device(out, scale: float, h: int, w: int, score_thr: float, mask_thr: float):
+    """Device-side mask pasting: detections (score-desc) -> (H, W) int32 segm.
+
+    Exactly the torchvision ``paste_masks_in_image`` + sequential-paint
+    semantics of the host loop it replaces (see ``host_paste`` below): pad
+    the MxM mask by 1 px, expand the box by (M+2)/M about its center,
+    truncate extents to int (toward zero), inclusive +1 pixel extents,
+    half-pixel-center bilinear, ``> mask_thr``; earlier (higher-score)
+    detections win contested pixels; ids are dense ranks over detections
+    that pass score/validity and intersect the frame. Runs as a handful of
+    vector ops inside the detector jit — the round-3 host loop resized and
+    painted per object per view in Python.
+
+    out: dict for ONE view (boxes (D,4) canvas coords, masks (D,M,M),
+    scores (D,), valid (D,)), already in descending score order (the NMS
+    output contract).
+    """
+    import jax.numpy as jnp
+
+    boxes = out["boxes"].astype(jnp.float32) / scale
+    masks = out["masks"].astype(jnp.float32)
+    scores = out["scores"]
+    valid = out["valid"]
+    D, M = masks.shape[0], masks.shape[1]
+    Mp = M + 2
+    padded = jnp.pad(masks, ((0, 0), (1, 1), (1, 1)))
+
+    x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    ex = (x2 - x1) * 0.5 * (Mp / M)
+    ey = (y2 - y1) * 0.5 * (Mp / M)
+    cx, cy = (x1 + x2) * 0.5, (y1 + y2) * 0.5
+    bx1 = jnp.trunc(cx - ex).astype(jnp.int32)
+    by1 = jnp.trunc(cy - ey).astype(jnp.int32)
+    bx2 = jnp.trunc(cx + ex).astype(jnp.int32)
+    by2 = jnp.trunc(cy + ey).astype(jnp.int32)
+    bw = jnp.maximum(bx2 - bx1 + 1, 1)
+    bh = jnp.maximum(by2 - by1 + 1, 1)
+
+    ys = jnp.arange(h)
+    xs = jnp.arange(w)
+    r = ys[None, :] - by1[:, None]  # (D, H)
+    c = xs[None, :] - bx1[:, None]  # (D, W)
+    sy = (r.astype(jnp.float32) + 0.5) * Mp / bh[:, None].astype(jnp.float32) - 0.5
+    sx = (c.astype(jnp.float32) + 0.5) * Mp / bw[:, None].astype(jnp.float32) - 0.5
+    y0 = jnp.clip(jnp.floor(sy), 0, Mp - 1)
+    x0 = jnp.clip(jnp.floor(sx), 0, Mp - 1)
+    wy = jnp.clip(sy - y0, 0.0, 1.0)
+    wx = jnp.clip(sx - x0, 0.0, 1.0)
+    y0 = y0.astype(jnp.int32)
+    x0 = x0.astype(jnp.int32)
+    y1i = jnp.minimum(y0 + 1, Mp - 1)
+    x1i = jnp.minimum(x0 + 1, Mp - 1)
+
+    # separable bilinear: interpolate rows (D, H, Mp), then columns (D, H, W)
+    gy0 = jnp.take_along_axis(padded, y0[:, :, None], axis=1)
+    gy1 = jnp.take_along_axis(padded, y1i[:, :, None], axis=1)
+    gy = gy0 * (1 - wy[:, :, None]) + gy1 * wy[:, :, None]
+    g0 = jnp.take_along_axis(gy, x0[:, None, :], axis=2)
+    g1 = jnp.take_along_axis(gy, x1i[:, None, :], axis=2)
+    m = g0 * (1 - wx[:, None, :]) + g1 * wx[:, None, :]  # (D, H, W)
+
+    inter_x = jnp.minimum(bx2 + 1, w) > jnp.maximum(bx1, 0)
+    inter_y = jnp.minimum(by2 + 1, h) > jnp.maximum(by1, 0)
+    ok = valid & (scores >= score_thr) & inter_x & inter_y  # (D,)
+    inside = (
+        (r >= 0)[:, :, None]
+        & (r < bh[:, None])[:, :, None]
+        & (c >= 0)[:, None, :]
+        & (c < bw[:, None])[:, None, :]
+    )
+    claimed = ok[:, None, None] & inside & (m > mask_thr)
+    first = jnp.argmax(claimed, axis=0)  # first claiming detection
+    ids = jnp.cumsum(ok.astype(jnp.int32))  # dense 1-based ranks
+    return jnp.where(claimed.any(axis=0), ids[first], 0).astype(jnp.int32)
+
+
 class JaxMaskRCNNDetector:
     """TPU-native Mask R-CNN detector (no torch/torchvision at inference).
 
     Loads the reference's released ``mask_rcnn.pth`` (torchvision format,
     reference README.md:34,37) via ``ckpt.detector_convert`` and runs the
     static-shape Flax graph (``nn.maskrcnn.MaskRCNN``); both camera views
-    go through one vmapped jit call. Resize/pad to the static canvas
-    happens inside the jit; mask pasting back to frame coordinates is
-    host-side numpy.
+    go through one vmapped jit call. Resize/pad to the static canvas AND
+    mask pasting back to frame coordinates all run inside the jit — the
+    host fetches one (V, H, W) int32 segmentation per step (one D2H on the
+    ~30 ms-RTT tunneled link). ``host_paste=True`` keeps the round-3
+    per-object numpy pasting loop (the numerics oracle for tests).
+
+    VIMA frames are 64x128 (or 128x256); the defaults map them to a
+    128x256 canvas (min_size=128) — detection at 2x upscale, 16x fewer
+    canvas pixels than torchvision's 800/1333 default. Pass
+    ``min_size``/``max_size`` for other geometries, and ``dtype=bfloat16``
+    (the CLI default) for bf16 conv/gather stages (nn/maskrcnn.py).
 
     For tests (or custom detectors), pass ``model``/``params`` directly
     instead of ``ckpt_path``.
@@ -77,8 +161,9 @@ class JaxMaskRCNNDetector:
         params=None,
         score_threshold: float = 0.5,
         mask_threshold: float = 0.5,
-        min_size: int = 800,
-        max_size: int = 1333,
+        min_size: int = 128,
+        max_size: int = 256,
+        host_paste: bool = False,
         **model_overrides,
     ):
         if ckpt_path is not None:
@@ -93,6 +178,7 @@ class JaxMaskRCNNDetector:
         self._mthr = mask_threshold
         self._min = min_size
         self._max = max_size
+        self._host_paste = host_paste
         self._jit = None  # built lazily once the frame geometry is known
 
     def _build(self, h: int, w: int):
@@ -108,9 +194,12 @@ class JaxMaskRCNNDetector:
             def one(img):
                 img = jax.image.resize(img, (nh, nw, 3), "bilinear")
                 img = jnp.pad(img, ((0, ch - nh), (0, cw - nw), (0, 0)))
-                return self.model.apply(
+                out = self.model.apply(
                     params, img, jnp.asarray([nh, nw], jnp.float32)
                 )
+                if not self._host_paste:
+                    return _paste_segm_device(out, scale, h, w, self._thr, self._mthr)
+                return out
 
             return jax.vmap(one)(frames)
 
@@ -128,7 +217,11 @@ class JaxMaskRCNNDetector:
             self._build(h, w)
         import jax
 
-        out = jax.tree_util.tree_map(np.asarray, self._jit(self.params, frames))
+        out = self._jit(self.params, frames)
+        if not self._host_paste:
+            seg = np.asarray(out)  # one fetch: (V, H, W) int32
+            return {view: seg[vi] for vi, view in enumerate(views)}
+        out = jax.tree_util.tree_map(np.asarray, out)
         segm = {}
         for vi, view in enumerate(views):
             seg = np.zeros((h, w), dtype=np.int32)

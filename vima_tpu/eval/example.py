@@ -183,19 +183,27 @@ def main(argv=None):
     p.add_argument(
         "--detector-min-size",
         type=int,
-        default=256,
+        default=128,
         help="detector input resize target for the short side. VIMA frames "
-        "are 64x128, so the default upsamples 4x to 256x512 — enough pixels "
-        "for the R50 stride-32 pyramid to see small objects, ~10x cheaper "
-        "than torchvision's 800 (which would build a 800x1600 canvas); pass "
-        "800 for torchvision-transform-exact behavior",
+        "are 64x128, so the default upsamples 2x to 128x256 — enough pixels "
+        "for the R50 stride-32 pyramid to see the tabletop objects, ~40x "
+        "cheaper than torchvision's 800 (which would build a 800x1600 "
+        "canvas); pass 800 for torchvision-transform-exact behavior",
     )
     p.add_argument(
         "--detector-max-size",
         type=int,
-        default=512,
+        default=256,
         help="detector input resize cap for the long side (torchvision "
         "default 1333; see --detector-min-size)",
+    )
+    p.add_argument(
+        "--detector-dtype",
+        choices=("bf16", "fp32"),
+        default="bf16",
+        help="detector conv/gather compute dtype (box geometry, NMS and "
+        "score activations stay fp32 either way); fp32 matches torchvision "
+        "inference numerics exactly",
     )
     p.add_argument(
         "--all-partitions",
@@ -220,10 +228,13 @@ def main(argv=None):
     if cfg.detector is not None:
         from vima_tpu.bridge.detector import JaxMaskRCNNDetector
 
+        import jax.numpy as jnp
+
         detector = JaxMaskRCNNDetector(
             cfg.detector,
             min_size=cfg.detector_min_size,
             max_size=cfg.detector_max_size,
+            dtype=jnp.bfloat16 if cfg.detector_dtype == "bf16" else jnp.float32,
         )
 
     tokenize = PromptTokenizer(cfg.tokenizer, vocab_size=policy.vocab_size)

@@ -13,13 +13,13 @@ Design notes (TPU-first, not a port of torchvision):
     NMS, RoIAlign, box/mask heads — is one static-shape jitted graph.
     Dynamic-shape stages (torchvision filters by score and keeps variable
     counts) become fixed-capacity arrays + validity masks: top-k instead
-    of threshold-filter, masked iterative NMS (`lax.fori_loop`) instead of
-    sorted suppression, and a fixed detection budget.
+    of threshold-filter, sort + pairwise-IoU fixpoint NMS instead of a
+    serial suppression loop, and a fixed detection budget.
   * NHWC layout throughout (XLA:TPU's native conv layout); frozen
     batchnorm is a per-channel scale/shift folded at convert time.
-  * RoIAlign over the feature pyramid computes each RoI on every level
-    and selects by the canonical level assignment — 4x the gathers, zero
-    dynamic control flow; at VIMA frame sizes this is noise.
+  * RoIAlign over the feature pyramid samples a single flattened
+    multi-level buffer at each RoI's canonical level — one gather per
+    RoI, zero dynamic control flow.
   * the 2x2-stride-2 mask deconv is an einsum + reshape (exact
     ConvTranspose2d semantics for the non-overlapping case) — one MXU
     matmul instead of a conv-transpose lowering.
@@ -65,7 +65,7 @@ class FrozenBN(nn.Module):
     def __call__(self, x):
         scale = self.param("scale", nn.initializers.ones, (self.features,))
         shift = self.param("shift", nn.initializers.zeros, (self.features,))
-        return x * scale + shift
+        return x * scale.astype(x.dtype) + shift.astype(x.dtype)
 
 
 class ConvBN(nn.Module):
@@ -73,6 +73,7 @@ class ConvBN(nn.Module):
     kernel: int = 3
     stride: int = 1
     relu: bool = True
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -82,6 +83,7 @@ class ConvBN(nn.Module):
             strides=self.stride,
             padding=self.kernel // 2,
             use_bias=False,
+            dtype=self.dtype,
             name="conv",
         )(x)
         x = FrozenBN(self.features, name="bn")(x)
@@ -93,16 +95,18 @@ class Bottleneck(nn.Module):
     out: int
     stride: int = 1
     downsample: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         identity = x
-        y = ConvBN(self.mid, 1, name="conv1")(x)
-        y = ConvBN(self.mid, 3, stride=self.stride, name="conv2")(y)
-        y = ConvBN(self.out, 1, relu=False, name="conv3")(y)
+        y = ConvBN(self.mid, 1, dtype=self.dtype, name="conv1")(x)
+        y = ConvBN(self.mid, 3, stride=self.stride, dtype=self.dtype, name="conv2")(y)
+        y = ConvBN(self.out, 1, relu=False, dtype=self.dtype, name="conv3")(y)
         if self.downsample:
             identity = ConvBN(
-                self.out, 1, stride=self.stride, relu=False, name="downsample"
+                self.out, 1, stride=self.stride, relu=False, dtype=self.dtype,
+                name="downsample",
             )(x)
         return nn.relu(y + identity)
 
@@ -113,11 +117,15 @@ class ResNetBody(nn.Module):
 
     blocks: Sequence[int] = (3, 4, 6, 3)
     width: int = 64
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         w = self.width
-        x = nn.Conv(w, (7, 7), strides=2, padding=3, use_bias=False, name="conv1")(x)
+        x = nn.Conv(
+            w, (7, 7), strides=2, padding=3, use_bias=False, dtype=self.dtype,
+            name="conv1",
+        )(x)
         x = FrozenBN(w, name="bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
@@ -132,6 +140,7 @@ class ResNetBody(nn.Module):
                     out,
                     stride=stride,
                     downsample=(b == 0),
+                    dtype=self.dtype,
                     name=f"layer{stage + 1}_{b}",
                 )(x)
             feats.append(x)
@@ -142,11 +151,12 @@ class FPN(nn.Module):
     """Top-down feature pyramid (P2..P5 + P6 via stride-2 maxpool)."""
 
     features: int = 256
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, feats):
         inners = [
-            nn.Conv(self.features, (1, 1), name=f"inner{i}")(c)
+            nn.Conv(self.features, (1, 1), dtype=self.dtype, name=f"inner{i}")(c)
             for i, c in enumerate(feats)
         ]
         outs = [None] * len(inners)
@@ -158,7 +168,7 @@ class FPN(nn.Module):
             last = inners[i] + up
             outs[i] = last
         outs = [
-            nn.Conv(self.features, (3, 3), padding=1, name=f"layer{i}")(o)
+            nn.Conv(self.features, (3, 3), padding=1, dtype=self.dtype, name=f"layer{i}")(o)
             for i, o in enumerate(outs)
         ]
         p6 = nn.max_pool(outs[-1], (1, 1), strides=(2, 2))
@@ -254,32 +264,76 @@ def box_iou_one_vs_all(box, boxes):
     return inter / jnp.maximum(a + b - inter, 1e-9)
 
 
-def nms_padded(boxes, scores, valid, iou_thresh: float, topk: int):
-    """Masked iterative NMS with a static output budget.
+def _pairwise_iou(boxes):
+    """(K, 4) -> (K, K) IoU (same formula as box_iou_one_vs_all)."""
+    x1 = jnp.maximum(boxes[:, None, 0], boxes[None, :, 0])
+    y1 = jnp.maximum(boxes[:, None, 1], boxes[None, :, 1])
+    x2 = jnp.minimum(boxes[:, None, 2], boxes[None, :, 2])
+    y2 = jnp.minimum(boxes[:, None, 3], boxes[None, :, 3])
+    inter = jnp.clip(x2 - x1, 0) * jnp.clip(y2 - y1, 0)
+    area = jnp.clip(boxes[:, 2] - boxes[:, 0], 0) * jnp.clip(
+        boxes[:, 3] - boxes[:, 1], 0
+    )
+    return inter / jnp.maximum(area[:, None] + area[None, :] - inter, 1e-9)
+
+
+def nms_padded(boxes, scores, valid, iou_thresh: float, topk: int, candidates=None):
+    """Masked parallel NMS with a static output budget.
 
     boxes (N,4), scores (N,), valid (N,) bool -> (idx (topk,) int32,
     keep_scores (topk,), keep_valid (topk,) bool), in descending score
-    order. Greedy max-score selection + suppression, exactly torchvision
-    NMS semantics (IoU strictly greater than the threshold suppresses).
+    order, exactly torchvision greedy-NMS semantics (IoU strictly greater
+    than the threshold suppresses; equal scores break ties by lower index).
+
+    TPU-first formulation: instead of a topk-iteration serial select-max
+    loop (which at torchvision budgets means 1000 sequential fori_loop
+    steps of tiny VPU ops — the round-3 detector spent most of its 257 ms
+    there), sort once by score, build the pairwise IoU matrix, and solve
+    the suppression recurrence keep[i] = valid[i] & !any_{j<i}(keep[j] &
+    iou[j,i] > t) by fixpoint iteration: each sweep is one big masked
+    any-reduction, and each sweep provably extends the correct prefix by
+    >= 1 (the first undecided index only depends on already-correct
+    entries), so the while_loop converges to the exact sequential result
+    in <= K sweeps — in practice a handful (suppression-chain depth).
+
+    ``candidates``: optional cap on the sorted candidate set (the IoU
+    matrix is K^2; the box stage passes ~90k boxes for a 100-detection
+    budget, where only the top few thousand scores can possibly matter).
     """
-    neg = jnp.float32(-jnp.inf)
-    live = jnp.where(valid, scores.astype(jnp.float32), neg)
+    N = boxes.shape[0]
+    K = N if candidates is None else min(int(candidates), N)
+    key = jnp.where(valid, scores.astype(jnp.float32), -jnp.inf)
+    key, order = jax.lax.top_k(key, K)  # ties: lower index first
+    sboxes = boxes[order].astype(jnp.float32)
+    svalid = jnp.isfinite(key)
 
-    def body(i, state):
-        live, idx, ks = state
-        j = jnp.argmax(live)
-        s = live[j]
-        idx = idx.at[i].set(j.astype(jnp.int32))
-        ks = ks.at[i].set(s)
-        iou = box_iou_one_vs_all(boxes[j], boxes)
-        suppress = (iou > iou_thresh) | (jnp.arange(boxes.shape[0]) == j)
-        live = jnp.where(suppress, neg, live)
-        return live, idx, ks
+    iou = _pairwise_iou(sboxes)
+    ar = jnp.arange(K)
+    sup_allowed = (iou > iou_thresh) & (ar[:, None] < ar[None, :])
 
-    idx0 = jnp.zeros((topk,), jnp.int32)
-    ks0 = jnp.full((topk,), neg)
-    _, idx, ks = jax.lax.fori_loop(0, topk, body, (live, idx0, ks0))
-    return idx, jnp.where(jnp.isfinite(ks), ks, 0.0), jnp.isfinite(ks)
+    def cond(st):
+        keep, prev, it = st
+        return jnp.logical_and(it < K, jnp.any(keep != prev))
+
+    def body(st):
+        keep, _, it = st
+        sup = jnp.any(sup_allowed & keep[:, None], axis=0)
+        return svalid & ~sup, keep, it + 1
+
+    keep, _, _ = jax.lax.while_loop(
+        cond, body, (svalid, jnp.zeros_like(svalid), jnp.int32(0))
+    )
+
+    k_out = min(topk, K)
+    ks, top_i = jax.lax.top_k(jnp.where(keep, key, -jnp.inf), k_out)
+    idx = order[top_i].astype(jnp.int32)
+    kvalid = jnp.isfinite(ks)
+    if k_out < topk:  # static pad to the requested budget
+        pad = topk - k_out
+        idx = jnp.pad(idx, (0, pad))
+        ks = jnp.pad(ks, (0, pad), constant_values=-jnp.inf)
+        kvalid = jnp.pad(kvalid, (0, pad))
+    return idx, jnp.where(kvalid, ks, 0.0), kvalid
 
 
 def roi_align(feat, boxes, out_size: int, spatial_scale: float, sampling_ratio: int = 2):
@@ -353,19 +407,74 @@ def fpn_level_assignment(boxes, num_levels: int):
 def multiscale_roi_align(pyramid, boxes, out_size: int, strides, sampling_ratio: int = 2):
     """RoIAlign over an FPN pyramid with canonical level selection.
 
-    Computes every RoI on every level and selects — static shapes, no
-    per-RoI control flow (cheap at these image sizes).
     pyramid: list of (Hl, Wl, C); boxes (N, 4) -> (N, out, out, C).
+
+    One gather from a flattened pyramid: all levels are concatenated into
+    one (sum Hl*Wl, C) buffer and every RoI samples it at its assigned
+    level's base offset/stride, so each RoI is computed exactly once.
+    (The round-3 version ran every RoI on every level and selected — 4x
+    the gather traffic; numerically identical since the per-level sample
+    math below is the same as :func:`roi_align` with that level's scale.)
     """
-    lvl = fpn_level_assignment(boxes, len(pyramid))
-    per_level = [
-        roi_align(f, boxes, out_size, 1.0 / s, sampling_ratio)
-        for f, s in zip(pyramid, strides)
-    ]
-    stacked = jnp.stack(per_level)  # (L, N, out, out, C)
-    return jnp.take_along_axis(
-        stacked, lvl[None, :, None, None, None], axis=0
-    )[0]
+    lvl = fpn_level_assignment(boxes, len(pyramid))  # (N,) 0-based
+    C = pyramid[0].shape[-1]
+    flat = jnp.concatenate([f.reshape(-1, C) for f in pyramid], axis=0)
+    sizes = np.asarray([f.shape[:2] for f in pyramid], np.int64)  # (L, 2)
+    bases = np.concatenate([[0], np.cumsum(sizes[:, 0] * sizes[:, 1])])[:-1]
+    Hl = jnp.asarray(sizes[:, 0], jnp.float32)[lvl]
+    Wl = jnp.asarray(sizes[:, 1], jnp.float32)[lvl]
+    base = jnp.asarray(bases, jnp.int32)[lvl]
+    scale = 1.0 / jnp.asarray(strides, jnp.float32)[lvl]
+
+    n = sampling_ratio
+    N = boxes.shape[0]
+    b = boxes.astype(jnp.float32) * scale[:, None]
+    x1, y1 = b[:, 0], b[:, 1]
+    bw = jnp.maximum(b[:, 2] - b[:, 0], 1.0)  # torchvision clamps roi size >= 1
+    bh = jnp.maximum(b[:, 3] - b[:, 1], 1.0)
+    cell_w = bw / out_size
+    cell_h = bh / out_size
+    ij = jnp.arange(out_size, dtype=jnp.float32)
+    ss = (jnp.arange(n, dtype=jnp.float32) + 0.5) / n
+    ys = y1[:, None, None] + cell_h[:, None, None] * (ij[None, :, None] + ss[None, None, :])
+    xs = x1[:, None, None] + cell_w[:, None, None] * (ij[None, :, None] + ss[None, None, :])
+
+    yy = jnp.clip(ys, 0.0, (Hl - 1.0)[:, None, None])
+    xx = jnp.clip(xs, 0.0, (Wl - 1.0)[:, None, None])
+    y0 = jnp.floor(yy)
+    x0 = jnp.floor(xx)
+    wy = yy - y0
+    wx = xx - x0
+    Hi = (Hl - 1.0).astype(jnp.int32)[:, None, None]
+    Wi = (Wl - 1.0).astype(jnp.int32)[:, None, None]
+    y0 = y0.astype(jnp.int32)
+    x0 = x0.astype(jnp.int32)
+    y1i = jnp.minimum(y0 + 1, Hi)
+    x1i = jnp.minimum(x0 + 1, Wi)
+    Wrow = Wl.astype(jnp.int32)
+
+    def gather(yi, xi):
+        # yi (N,out,n) + xi (N,out,n) -> (N,out,n,out,n,C)
+        lin = (
+            base[:, None, None, None, None]
+            + yi[:, :, :, None, None] * Wrow[:, None, None, None, None]
+            + xi[:, None, None, :, :]
+        )
+        return flat[lin.reshape(N, -1)].reshape(*lin.shape, C)
+
+    g00 = gather(y0, x0)
+    g01 = gather(y0, x1i)
+    g10 = gather(y1i, x0)
+    g11 = gather(y1i, x1i)
+    wy_ = wy[:, :, :, None, None, None]
+    wx_ = wx[:, None, None, :, :, None]
+    samples = (
+        g00 * (1 - wy_) * (1 - wx_)
+        + g01 * (1 - wy_) * wx_
+        + g10 * wy_ * (1 - wx_)
+        + g11 * wy_ * wx_
+    )
+    return samples.mean(axis=(2, 4))
 
 
 # ---------------------------------------------------------------------------
@@ -376,12 +485,13 @@ def multiscale_roi_align(pyramid, boxes, out_size: int, strides, sampling_ratio:
 class RPNHead(nn.Module):
     features: int
     num_anchors: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, feats):
-        conv = nn.Conv(self.features, (3, 3), padding=1, name="conv")
-        cls = nn.Conv(self.num_anchors, (1, 1), name="cls_logits")
-        bbox = nn.Conv(self.num_anchors * 4, (1, 1), name="bbox_pred")
+        conv = nn.Conv(self.features, (3, 3), padding=1, dtype=self.dtype, name="conv")
+        cls = nn.Conv(self.num_anchors, (1, 1), dtype=self.dtype, name="cls_logits")
+        bbox = nn.Conv(self.num_anchors * 4, (1, 1), dtype=self.dtype, name="bbox_pred")
         logits, deltas = [], []
         for f in feats:
             t = nn.relu(conv(f))
@@ -392,35 +502,40 @@ class RPNHead(nn.Module):
 
 class BoxHead(nn.Module):
     representation: int = 1024
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):  # (N, out, out, C)
         # torchvision flattens torch-layout (C, h, w); transpose so the
         # converted fc6 weights see the same input ordering.
-        x = x.transpose(0, 3, 1, 2).reshape(x.shape[0], -1)
-        x = nn.relu(nn.Dense(self.representation, name="fc6")(x))
-        x = nn.relu(nn.Dense(self.representation, name="fc7")(x))
+        x = x.transpose(0, 3, 1, 2).reshape(x.shape[0], -1).astype(self.dtype)
+        x = nn.relu(nn.Dense(self.representation, dtype=self.dtype, name="fc6")(x))
+        x = nn.relu(nn.Dense(self.representation, dtype=self.dtype, name="fc7")(x))
         return x
 
 
 class BoxPredictor(nn.Module):
     num_classes: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        scores = nn.Dense(self.num_classes, name="cls_score")(x)
-        deltas = nn.Dense(self.num_classes * 4, name="bbox_pred")(x)
+        scores = nn.Dense(self.num_classes, dtype=self.dtype, name="cls_score")(x)
+        deltas = nn.Dense(self.num_classes * 4, dtype=self.dtype, name="bbox_pred")(x)
         return scores, deltas
 
 
 class MaskHead(nn.Module):
     features: int = 256
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
+        x = x.astype(self.dtype)
         for i in range(1, 5):
             x = nn.relu(
-                nn.Conv(self.features, (3, 3), padding=1, name=f"mask_fcn{i}")(x)
+                nn.Conv(self.features, (3, 3), padding=1, dtype=self.dtype,
+                        name=f"mask_fcn{i}")(x)
             )
         return x
 
@@ -435,6 +550,7 @@ class MaskPredictor(nn.Module):
 
     features: int = 256
     num_classes: int = 91
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):  # (N, h, w, C)
@@ -445,10 +561,11 @@ class MaskPredictor(nn.Module):
             (C, self.features, 2, 2),
         )
         bias = self.param("conv5_mask_bias", nn.initializers.zeros, (self.features,))
-        y = jnp.einsum("nhwc,cfab->nhawbf", x, kernel)
-        y = y.reshape(N, 2 * h, 2 * w, self.features) + bias
+        y = jnp.einsum("nhwc,cfab->nhawbf", x, kernel.astype(x.dtype))
+        y = y.reshape(N, 2 * h, 2 * w, self.features) + bias.astype(x.dtype)
         y = nn.relu(y)
-        return nn.Conv(self.num_classes, (1, 1), name="mask_fcn_logits")(y)
+        return nn.Conv(self.num_classes, (1, 1), dtype=self.dtype,
+                       name="mask_fcn_logits")(y)
 
 
 # ---------------------------------------------------------------------------
@@ -481,23 +598,38 @@ class MaskRCNN(nn.Module):
     box_nms_thresh: float = 0.5
     detections_per_img: int = 100
     representation: int = 1024
+    # Cap on the box-stage NMS candidate set (the P x (C-1) fg boxes are
+    # score-top_k'd to this many before the pairwise-IoU NMS; ~90k at the
+    # torchvision budgets, of which only the top few thousand can matter
+    # for a 100-detection output). None = exact (full set).
+    box_nms_candidates: int = 4096
+    # Compute dtype for the conv/dense stages (backbone, FPN, heads) and
+    # the RoIAlign gathers. Box geometry, NMS, softmax/sigmoid stay fp32.
+    # fp32 (default) matches torchvision inference; bf16 halves the HBM
+    # traffic of the conv/gather stages on TPU with box/mask deviations
+    # far below the detector's own score threshold noise.
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, image, image_hw):
         H, W, _ = image.shape
-        mean = jnp.asarray(IMAGENET_MEAN, image.dtype)
-        std = jnp.asarray(IMAGENET_STD, image.dtype)
-        x = (image - mean) / std
+        mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+        std = jnp.asarray(IMAGENET_STD, jnp.float32)
+        x = ((image.astype(jnp.float32) - mean) / std).astype(self.dtype)
 
-        feats = ResNetBody(self.blocks, self.width, name="body")(x[None])
-        pyramid = FPN(self.fpn_features, name="fpn")(feats)
+        feats = ResNetBody(self.blocks, self.width, dtype=self.dtype, name="body")(
+            x[None]
+        )
+        pyramid = FPN(self.fpn_features, dtype=self.dtype, name="fpn")(feats)
         pyramid = [p[0] for p in pyramid]  # drop batch: (Hl, Wl, C)
         strides = [4, 8, 16, 32, 64]
 
         A = len(self.anchor_ratios)
-        logits, deltas = RPNHead(self.fpn_features, A, name="rpn_head")(
+        logits, deltas = RPNHead(self.fpn_features, A, dtype=self.dtype, name="rpn_head")(
             [p[None] for p in pyramid]
         )
+        logits = [l.astype(jnp.float32) for l in logits]
+        deltas = [d.astype(jnp.float32) for d in deltas]
         anchors = generate_anchors(
             [p.shape[:2] for p in pyramid], strides, self.anchor_sizes, self.anchor_ratios
         )
@@ -537,8 +669,12 @@ class MaskRCNN(nn.Module):
 
         # --- Box stage ---
         roi = multiscale_roi_align(pyramid[:4], proposals, 7, strides[:4])
-        rep = BoxHead(self.representation, name="box_head")(roi)
-        cls_logits, box_deltas = BoxPredictor(self.num_classes, name="box_predictor")(rep)
+        rep = BoxHead(self.representation, dtype=self.dtype, name="box_head")(roi)
+        cls_logits, box_deltas = BoxPredictor(
+            self.num_classes, dtype=self.dtype, name="box_predictor"
+        )(rep)
+        cls_logits = cls_logits.astype(jnp.float32)
+        box_deltas = box_deltas.astype(jnp.float32)
         probs = jax.nn.softmax(cls_logits, axis=-1)  # (P, C)
         P = proposals.shape[0]
         C = self.num_classes
@@ -568,6 +704,7 @@ class MaskRCNN(nn.Module):
             fg_valid,
             self.box_nms_thresh,
             self.detections_per_img,
+            candidates=self.box_nms_candidates,
         )
         det_boxes = fg_boxes[didx]
         det_labels = fg_labels[didx]
@@ -575,14 +712,14 @@ class MaskRCNN(nn.Module):
 
         # --- Mask stage ---
         mroi = multiscale_roi_align(pyramid[:4], det_boxes, 14, strides[:4])
-        mfeat = MaskHead(self.fpn_features, name="mask_head")(mroi)
-        mlogits = MaskPredictor(self.fpn_features, self.num_classes, name="mask_predictor")(
-            mfeat
-        )  # (D, 28, 28, C)
+        mfeat = MaskHead(self.fpn_features, dtype=self.dtype, name="mask_head")(mroi)
+        mlogits = MaskPredictor(
+            self.fpn_features, self.num_classes, dtype=self.dtype, name="mask_predictor"
+        )(mfeat)  # (D, 28, 28, C)
         sel = jnp.take_along_axis(
             mlogits, det_labels[:, None, None, None].astype(jnp.int32), axis=-1
         )[..., 0]
-        masks = jax.nn.sigmoid(sel)
+        masks = jax.nn.sigmoid(sel.astype(jnp.float32))
 
         return {
             "boxes": det_boxes,

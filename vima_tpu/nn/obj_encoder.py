@@ -46,6 +46,7 @@ class ObjEncoder(nn.Module):
     vit_heads: int
     bbox_mlp_hidden_dim: int
     bbox_mlp_hidden_depth: int
+    vit_attn_pack: int = 16  # crop-packed attention (nn/vit.py attn_pack)
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -75,6 +76,7 @@ class ObjEncoder(nn.Module):
             layers=self.vit_layers,
             heads=self.vit_heads,
             output_dim=self.vit_output_dim,
+            attn_pack=self.vit_attn_pack,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="cropped_img_encoder",

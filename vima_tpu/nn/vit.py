@@ -50,7 +50,8 @@ class ViTBlock(nn.Module):
     """Pre-LN residual attention block with QuickGELU MLP
     (reference vit.py:199-236). torch nn.MultiheadAttention packs qkv into
     one in_proj — we keep one fused qkv Dense for the same reason: a single
-    MXU matmul."""
+    MXU matmul. ``attn_bias``: optional additive fp32 bias over the score
+    matrix (the crop-packing block-diagonal mask, see _ViTCore)."""
 
     width: int
     heads: int
@@ -58,7 +59,7 @@ class ViTBlock(nn.Module):
     param_dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, attn_bias=None):
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype, name="ln_1")(x)
         qkv = nn.Dense(3 * self.width, dtype=self.dtype, param_dtype=self.param_dtype, name="qkv")(h)
         q, k, v = jnp.split(qkv, 3, axis=-1)
@@ -68,6 +69,7 @@ class ViTBlock(nn.Module):
             split_heads(k, self.heads),
             split_heads(v, self.heads),
             scale=1.0 / (d**0.5),
+            bias=attn_bias,
         )
         out = nn.Dense(self.width, dtype=self.dtype, param_dtype=self.param_dtype, name="out_proj")(
             merge_heads(out)
@@ -95,6 +97,16 @@ class _ViTCore(nn.Module):
     output_dim: int
     use_cls: bool = True
     return_patches: bool = False
+    # Crop packing: run attention over groups of ``attn_pack`` images as ONE
+    # sequence with a block-diagonal mask. A 32x32 crop is 5 tokens with
+    # head_dim 32 — thousands of 5x5x32 batched matmuls that tile onto the
+    # 128x128 MXU at ~2% utilization (measured: the obs path was ~40% of the
+    # B=64 rollout step, round-4 perf lab). Packing G crops gives G*5-token
+    # score tiles at identical math: masked cross-crop logits get fp32-min,
+    # exp underflows to exactly 0.0, and 0.0-weighted values add exact zeros
+    # — bit-identical outputs per crop (pinned by test_parity_nn's
+    # pack-equality test). 1 disables.
+    attn_pack: int = 1
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -140,6 +152,36 @@ class _ViTCore(nn.Module):
         tokens = nn.LayerNorm(
             epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype, name="ln_pre"
         )(tokens)
+
+        G = max(1, int(self.attn_pack))
+        # Packing preserves every score bit, but the longer softmax-sum /
+        # PV reduction axis can re-associate fp adds (last-ulp wiggle).
+        # strict_parity_mode runs ('highest'/'float32' precision) therefore
+        # keep the unpacked reduction order — same trace-time gate as the
+        # Pallas kernels (ops/attention.py).
+        import jax as _jax
+
+        if _jax.config.jax_default_matmul_precision not in (None, "default", "bfloat16"):
+            G = 1
+        attn_bias = None
+        n_real = tokens.shape[0]
+        if G > 1:
+            # pack G images per attention sequence (see attn_pack docs);
+            # pad the image axis to a multiple of G with dummy rows (their
+            # outputs are sliced away below and masked out of attention).
+            pad = (-n_real) % G
+            if pad:
+                tokens = jnp.concatenate(
+                    [tokens, jnp.zeros((pad,) + tokens.shape[1:], tokens.dtype)], axis=0
+                )
+            tokens = tokens.reshape(-1, G * n_tokens, self.width)
+            block = jnp.kron(
+                jnp.eye(G, dtype=jnp.float32),
+                jnp.ones((n_tokens, n_tokens), jnp.float32),
+            )
+            f32_min = float(jnp.finfo(jnp.float32).min)
+            attn_bias = ((1.0 - block) * f32_min)[None, None]  # (1, 1, GT, GT)
+
         for i in range(self.layers):
             tokens = ViTBlock(
                 width=self.width,
@@ -147,7 +189,10 @@ class _ViTCore(nn.Module):
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 name=f"block_{i}",
-            )(tokens)
+            )(tokens, attn_bias)
+
+        if G > 1:
+            tokens = tokens.reshape(-1, n_tokens, self.width)[:n_real]
 
         projection = self.param(
             "projection",
@@ -184,6 +229,7 @@ class _EncoderBase(nn.Module):
     output_dim: int
     use_cls: bool = True
     return_patches: bool = False
+    attn_pack: int = 1
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -202,6 +248,7 @@ class _EncoderBase(nn.Module):
             output_dim=self.output_dim,
             use_cls=self.use_cls,
             return_patches=self.return_patches,
+            attn_pack=self.attn_pack,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="vit",
@@ -210,10 +257,16 @@ class _EncoderBase(nn.Module):
 
 
 class ViTEncoder(_EncoderBase):
-    """Square cls-token ViT over object crops (reference vit.py:13-46)."""
+    """Square cls-token ViT over object crops (reference vit.py:13-46).
+
+    Crop batches are large (B x n_objs x views) and sequences tiny
+    (32x32/patch16 = 5 tokens), so crop-packed attention defaults ON
+    (``attn_pack`` images per score tile, bit-identical math — see
+    _ViTCore.attn_pack)."""
 
     use_cls: bool = True
     return_patches: bool = False
+    attn_pack: int = 16
 
     @classmethod
     def square(cls, *, output_dim, resolution, patch_size, width, layers, heads, **kw):

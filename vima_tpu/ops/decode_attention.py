@@ -288,6 +288,187 @@ def fused_cached_attention_v2(
     return out[:, :, :C, :]
 
 
+def _decode_kernel_v3(
+    # scalar prefetch: [0] = valid length, [1] = q_offset (global pos of row 0)
+    scalars_ref,
+    q_ref,  # (1, H, Cp, D)
+    k_ref,  # (1, BK, E)
+    v_ref,  # (1, BK, E)
+    mask_ref,  # (1, 1, BK) f32
+    o_ref,  # (1, H, Cp, D)
+    acc_ref,  # (H, Cp, D) f32 scratch
+    m_ref,  # (H, Cp, 128) f32 scratch
+    l_ref,  # (H, Cp, 128) f32 scratch
+    *,
+    scale: float,
+    causal: bool,
+    n_heads: int,
+    head_dim: int,
+    block_k: int,
+    n_kb: int,
+):
+    """v2's head-stacked score math + v1's valid-prefix block skipping.
+
+    The cache is append-only (write_index grows by C per env step), so on
+    an average episode step only ~half the capacity holds attendable keys
+    — but v2 streams all S slots every call (its whole-cache single-pass
+    design). v3 restores v1's k-block grid: blocks past the valid prefix
+    re-request the previous block in their BlockSpec index_map (no DMA)
+    and skip compute, so per-step HBM traffic is O(written), not
+    O(capacity). Unlike v1, the mask/online-softmax chain runs once over
+    all heads stacked (H, Cp, BK) — v1's per-head chains of tiny VPU ops
+    were why it lost in-context (see the module docstring). Exact softmax
+    (fp32 online re-association), identical masking constants.
+    """
+    kb = pl.program_id(1)
+    valid = scalars_ref[0]
+    last_kb = jax.lax.div(jnp.maximum(valid - 1, 0), jnp.int32(block_k))
+
+    @pl.when(kb == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, _NEG_INIT)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
+    @pl.when(kb <= last_kb)
+    def _compute():
+        H, Cp, D = n_heads, q_ref.shape[2], head_dim
+        k = k_ref[0]  # (BK, E)
+        v = v_ref[0]
+        q = q_ref[0]  # (H, Cp, D)
+
+        # No operand casts: bf16 inputs take one MXU pass with fp32
+        # accumulation (same numerics contract as v2 — the dispatch gate
+        # only routes here at default matmul precision).
+        s = jnp.stack([
+            jax.lax.dot_general(
+                q[h],
+                k[:, h * D:(h + 1) * D],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            for h in range(H)
+        ])  # (H, Cp, BK) fp32
+        if scale != 1.0:
+            s = s * scale
+        # Same op order as ops.attention.attend: causal fill first, padding
+        # bias added after.
+        if causal:
+            qp = jax.lax.broadcasted_iota(jnp.int32, (H, Cp, block_k), 1) + scalars_ref[1]
+            kp = (
+                jax.lax.broadcasted_iota(jnp.int32, (H, Cp, block_k), 2)
+                + kb * block_k
+            )
+            s = jnp.where(kp <= qp, s, NEG_1E4)
+        km = mask_ref[0, 0].astype(jnp.float32)  # (BK,)
+        s = s + ((1.0 - km) * F32_MIN)[None, None, :]
+
+        m_prev = m_ref[...][:, :, :1]  # (H, Cp, 1)
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)  # (H, Cp, BK)
+        l_new = l_ref[...][:, :, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+
+        pv = jnp.stack([
+            jax.lax.dot_general(
+                p[h].astype(v.dtype),
+                v[:, h * D:(h + 1) * D],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            for h in range(H)
+        ])  # (H, Cp, D) f32
+        acc_ref[...] = acc_ref[...] * alpha + pv
+        m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
+        l_ref[...] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(kb == n_kb - 1)
+    def _finalize():
+        l = l_ref[...][:, :, :1]
+        l = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0] = (acc_ref[...] / l).astype(o_ref.dtype)
+
+
+def fused_cached_attention_v3(
+    q: jnp.ndarray,
+    cache_k: jnp.ndarray,
+    cache_v: jnp.ndarray,
+    *,
+    scale: Optional[float],
+    slot_mask: jnp.ndarray,
+    valid_len,
+    q_offset=None,
+    causal: bool = True,
+    block_k: int = 128,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """q: (B, H, C, D); cache_k/v: (B, S, H*D) E-contiguous; slot_mask bool
+    (B, S); valid_len: traced int32 — k-blocks whose slots all sit at index
+    >= valid_len are neither DMA'd nor computed (they must be causally or
+    mask excluded: exp underflows to exactly 0 there, so skipping is
+    bit-neutral). q_offset defaults to valid_len - C. Returns (B, H, C, D)
+    in cache_v.dtype."""
+    B, H, C, D = q.shape
+    S, E = cache_k.shape[1], cache_k.shape[2]
+    assert E == H * D, (E, H, D)
+    scale = 1.0 if scale is None else float(scale)
+
+    Cp = _round_up(C, 8)
+    if Cp != C:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, Cp - C), (0, 0)))
+    bk = min(block_k, S)
+    assert S % bk == 0, (S, bk)
+    n_kb = S // bk
+
+    if q_offset is None:
+        q_offset = valid_len - C
+    scalars = jnp.stack(
+        [jnp.asarray(valid_len, jnp.int32), jnp.asarray(q_offset, jnp.int32)]
+    )
+    mask_f = slot_mask.astype(jnp.float32)[:, None, :]  # (B, 1, S)
+
+    def _clamped(kb, scalars):
+        last = jnp.maximum(
+            jax.lax.div(jnp.maximum(scalars[0] - 1, 0), jnp.int32(bk)), 0
+        )
+        return jnp.minimum(kb, last)
+
+    kernel = functools.partial(
+        _decode_kernel_v3,
+        scale=scale,
+        causal=causal,
+        n_heads=H,
+        head_dim=D,
+        block_k=bk,
+        n_kb=n_kb,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, n_kb),
+            in_specs=[
+                pl.BlockSpec((1, H, Cp, D), lambda b, kb, s: (b, 0, 0, 0)),
+                pl.BlockSpec((1, bk, E), lambda b, kb, s: (b, _clamped(kb, s), 0)),
+                pl.BlockSpec((1, bk, E), lambda b, kb, s: (b, _clamped(kb, s), 0)),
+                pl.BlockSpec((1, 1, bk), lambda b, kb, s: (b, 0, _clamped(kb, s))),
+            ],
+            out_specs=pl.BlockSpec((1, H, Cp, D), lambda b, kb, s: (b, 0, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((H, Cp, D), jnp.float32),
+                pltpu.VMEM((H, Cp, 128), jnp.float32),
+                pltpu.VMEM((H, Cp, 128), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, H, Cp, D), cache_v.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(scalars, q, cache_k, cache_v, mask_f)
+    return out[:, :, :C, :]
+
+
 # Conservative VMEM budget for one v2 program: K/V blocks + fp32 scores and
 # their exp (2 live (H, Cp, S) fp32 values) + double-buffered streaming.
 _V2_VMEM_BUDGET = 10 << 20
@@ -448,7 +629,11 @@ def cached_attend(
         and B >= 2
         and E == H * D
         and E % 128 == 0
-        and S % 128 == 0
+        # No S alignment requirement: the v2 BlockSpecs cover the whole S
+        # extent, which Mosaic pads/masks internally (prompt caches sit at
+        # unaligned lengths like 36; round-4 lab: kernel ~0.00-0.08 ms vs
+        # 0.17-0.20 ms for the XLA cross attend at B=64, Lp=36 — the XLA
+        # path's batched 17x36x64 dots are as MXU-hostile as its relayout)
         and _v2_fits(B, H, Cp, D, S, E, cache_k.dtype.itemsize)
     )
     if use_kernel:

@@ -45,6 +45,7 @@ class VIMAPolicy(nn.Module):
     vit_width: int = 768
     vit_layers: int = 4
     vit_heads: int = 24
+    vit_attn_pack: int = 16  # crop-packed ViT attention (nn/vit.py)
     vit_output_dim: int = 768
     bbox_mlp_hidden_dim: int = 768
     bbox_mlp_hidden_depth: int = 2
@@ -80,6 +81,7 @@ class VIMAPolicy(nn.Module):
             vit_width=self.vit_width,
             vit_layers=self.vit_layers,
             vit_heads=self.vit_heads,
+            vit_attn_pack=self.vit_attn_pack,
             bbox_mlp_hidden_dim=self.bbox_mlp_hidden_dim,
             bbox_mlp_hidden_depth=self.bbox_mlp_hidden_depth,
             name="obj_encoder",

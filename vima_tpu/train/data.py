@@ -93,7 +93,14 @@ class TrajectoryDataset:
         obs_mode: str = "objects",
         img_hw: tuple | None = None,
         tokens_per_img: int | None = None,
+        word_len: int | None = None,
+        max_assets: int | None = None,
     ):
+        """``word_len``/``max_assets``: optional fixed buckets for the
+        prompt word ids and asset-image count. Unset (default), samples
+        keep their natural sizes, so episodes in a batch must agree; set,
+        every sample has identical shapes (heterogeneous data batches
+        freely — this is what the sharded format uses)."""
         self.paths: List[pathlib.Path] = sorted(pathlib.Path(root).glob("*.npz"))
         if not self.paths:
             raise FileNotFoundError(f"no episodes under {root}")
@@ -107,6 +114,8 @@ class TrajectoryDataset:
         self.obs_mode = obs_mode
         self.img_hw = tuple(img_hw) if img_hw else None
         self.tokens_per_img = tokens_per_img
+        self.word_len = word_len
+        self.max_assets = max_assets
         self._rng = np.random.default_rng(seed)
 
     def __len__(self):
@@ -141,7 +150,18 @@ class TrajectoryDataset:
         }
         types = ep["prompt_token_types"].tolist()
         n_words = int(sum(1 for t in types if t == 0))
-        sample["prompt_word_ids"] = ep["prompt_word_ids"].astype(np.int32)
+        word_ids = ep["prompt_word_ids"].astype(np.int32)
+        if self.word_len is not None:
+            if word_ids.shape[0] > self.word_len:
+                raise ValueError(
+                    f"episode has {word_ids.shape[0]} prompt words > "
+                    f"word_len bucket {self.word_len}"
+                )
+            word_ids = np.pad(word_ids, (0, self.word_len - word_ids.shape[0]))
+            # gather idx below uses [0, word_len) as the word block; padded
+            # word rows are simply never referenced.
+            n_words = self.word_len
+        sample["prompt_word_ids"] = word_ids
 
         if self.obs_mode == "rgb":
             from vima_tpu.bridge.obs_prep import resize_frame_chw
@@ -157,16 +177,21 @@ class TrajectoryDataset:
                 )
                 for v in VIEWS
             }
-            sample["prompt_assets"] = {
-                "rgb": {
-                    v: np.stack(
-                        [resize_frame_chw(f, self.img_hw) for f in ep["prompt_assets_rgb"][v]]
-                    )
-                    for v in VIEWS
-                }
+            assets_rgb = {
+                v: np.stack(
+                    [resize_frame_chw(f, self.img_hw) for f in ep["prompt_assets_rgb"][v]]
+                )
+                for v in VIEWS
             }
+            if self.max_assets is not None:
+                assets_rgb = {
+                    v: self._pad_objs(a, self.max_assets, axis=0)
+                    for v, a in assets_rgb.items()
+                }
+            sample["prompt_assets"] = {"rgb": assets_rgb}
             idx, mask = prompt_gather_indices(
-                [types], n_words, None, self.tokens_per_img, pad_to=self.prompt_len
+                [types], n_words, None, self.tokens_per_img, pad_to=self.prompt_len,
+                n_imgs=self.max_assets,
             )
         else:
             objects = {}
@@ -180,12 +205,22 @@ class TrajectoryDataset:
             asset_masks = {v: ep["prompt_assets"]["mask"][v] for v in VIEWS}
             qp = asset_masks[VIEWS[0]].shape[1] * len(VIEWS)
             idx, mask = prompt_gather_indices(
-                [types], n_words, asset_masks, qp, pad_to=self.prompt_len
+                [types], n_words, asset_masks, qp, pad_to=self.prompt_len,
+                n_imgs=self.max_assets,
             )
-            sample["prompt_assets"] = {
+            assets = {
                 field: {v: ep["prompt_assets"][field][v] for v in VIEWS}
                 for field in ("cropped_img", "bbox", "mask")
             }
+            if self.max_assets is not None:
+                assets = {
+                    field: {
+                        v: self._pad_objs(a, self.max_assets, axis=0)
+                        for v, a in d.items()
+                    }
+                    for field, d in assets.items()
+                }
+            sample["prompt_assets"] = assets
         sample["prompt_gather_idx"] = idx[0]
         sample["prompt_mask"] = mask[0]
         return sample

@@ -98,13 +98,33 @@ def main(argv=None):
         prompt_len=cfg.prompt_len,
         **dataset_kwargs_for_policy(policy),
     )
-    ds = TrajectoryDataset(cfg.data, **ds_kwargs)
+
+    def open_dataset(root):
+        """npz episode dir, or a packed shard root (streamed, mmap'd —
+        the at-scale path; see vima_tpu.train.shards)."""
+        from vima_tpu.train.shards import ShardedTrajectoryDataset, is_packed_root
+
+        if is_packed_root(root):
+            return ShardedTrajectoryDataset(
+                root,
+                validate_against={
+                    "obs_mode": ds_kwargs["obs_mode"],
+                    **(
+                        {"img_hw": ds_kwargs["img_hw"],
+                         "tokens_per_img": ds_kwargs["tokens_per_img"]}
+                        if ds_kwargs["obs_mode"] == "rgb" else {}
+                    ),
+                },
+            )
+        return TrajectoryDataset(root, **ds_kwargs)
+
+    ds = open_dataset(cfg.data)
     logger = MetricsLogger(cfg.metrics)
     tracker = LatencyTracker()
 
     eval_ds = None
     if cfg.eval_data:
-        eval_ds = TrajectoryDataset(cfg.eval_data, **ds_kwargs)
+        eval_ds = open_dataset(cfg.eval_data)
         if len(eval_ds) < cfg.batch_size:
             p.error(
                 f"--eval-data has {len(eval_ds)} episodes but --batch-size is "
