@@ -13,7 +13,11 @@ computed once. The scan measurement repeats >=5x for honest percentiles.
 Sections:
   * fp32/bf16 B=1 latency (headline, comparable to BASELINE config 1);
   * batched B in {16, 64} throughput: env-steps/s, tokens/s, est. MFU from
-    XLA's own cost analysis (BASELINE config 5 is batched envs);
+    XLA's own cost analysis (BASELINE config 5 is batched envs). Note the
+    cost analysis counts EXECUTED flops, so structured padding the design
+    chooses on purpose (crop-packed ViT score tiles, masked object slots)
+    inflates the numerator a few percent — est_mfu reads as hardware
+    utilization, not useful-model-flop efficiency;
   * closed-loop 8 fake envs through the pipelined bridge.env_loop —
     host+device wall per policy dispatch vs device-only;
   * attention kernel dispatch counters (fails loudly if a flash-worthy
@@ -320,7 +324,15 @@ def bench_ours():
                 if peak:
                     entry[name]["est_mfu"] = round(per_step / (p50 / 1e3) / peak, 4)
             _phase(f"scan {name} B={nb}")
+            # free the broadcast state/caches before the next variant: at
+            # B=64 one fp32 state holds ~3.6 GB of KV caches, and leaked
+            # section leftovers OOM'd the 16 GB chip once the round-4
+            # detector/train sections were added
+            del st_b, obj_b, ee_b
         batched[str(nb)] = entry
+    import gc
+
+    gc.collect()
 
     skip = set(os.environ.get("BENCH_SKIP", "").split(","))
 
@@ -334,6 +346,12 @@ def bench_ours():
     if "prompt_group" not in skip:
         prompt_group = _bench_prompt_group(policy, params, rtt)
         _phase("grouped prompt encode")
+
+    # the remaining sections build their own models; drop this scope's
+    # B=1 states and the bf16 twin so their device buffers free (HBM
+    # headroom for the 200M train section)
+    del state, state0, s16, params16, policy16
+    gc.collect()
 
     # ---- fused-kernel probe: the cached rollout's chunks (Lq=17) and short
     # prompts stay below the flash gate by design (XLA wins there), so the
@@ -353,6 +371,12 @@ def bench_ours():
     if "detector" not in skip:
         detector = _bench_detector(rtt)
         _phase("detector")
+        if detector is not None and "detector_loop" not in skip:
+            try:
+                detector["closed_loop_8env"] = _bench_detector_loop(policy, params)
+                _phase("closed loop with detector")
+            except Exception as e:
+                print(f"[bench] detector loop failed: {e!r}", file=sys.stderr)
 
     train = None
     if "train" not in skip:
@@ -736,42 +760,106 @@ def _bench_detector(rtt):
     config 3 runs the full policy with the detector in the obs loop,
     reference README.md:34,37). Random-init params — cost is shape-driven
     (static canvas, static NMS budgets), not value-driven. Reports the full
-    detect() wall (jit forward + host mask pasting) at the CLI's
-    VIMA-frame defaults (min_size=256: a 64x128 frame maps to a 256x512
-    canvas; the torchvision default 800/1333 canvas is ~10x the pixels)."""
+    detect() wall (jit forward incl. in-graph mask pasting; one int32 segm
+    fetch) at the CLI's VIMA-frame defaults (bf16, min_size=128: a 64x128
+    frame maps to a 128x256 canvas; torchvision's default 800/1333 canvas
+    is ~40x the pixels), plus the round-3-comparable fp32 256x512 point."""
     import jax
     import jax.numpy as jnp
 
     from vima_tpu.bridge.detector import JaxMaskRCNNDetector
     from vima_tpu.nn.maskrcnn import MaskRCNN
 
-    if os.environ.get("BENCH_TINY"):  # CPU smoke: shape/code-path check only
-        model = MaskRCNN(
-            blocks=(1, 1, 1, 1), width=16, fpn_features=32, representation=64,
-            pre_nms_top_n=50, post_nms_top_n=50, detections_per_img=10,
-        )
-    else:
-        model = MaskRCNN()  # released-ckpt geometry: R50-FPN, 91 classes
     rng = np.random.default_rng(3)
     frames = {
         v: rng.integers(0, 255, size=(3, 64, 128)).astype(np.uint8)
         for v in VIEWS
     }
-    canvas = jnp.zeros((256, 512, 3), jnp.float32)
-    hw = jnp.asarray([256, 512], jnp.float32)
-    params = jax.jit(model.init)(jax.random.PRNGKey(0), canvas, hw)
-    det = JaxMaskRCNNDetector(model=model, params=params, min_size=256, max_size=512)
-    det.detect(frames, {})  # compile
-    times = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        det.detect(frames, {})
-        times.append((time.perf_counter() - t0 - rtt) * 1e3)
+
+    def measure(dtype, mn, mx):
+        if os.environ.get("BENCH_TINY"):  # CPU smoke: shape/code-path check
+            model = MaskRCNN(
+                blocks=(1, 1, 1, 1), width=16, fpn_features=32, representation=64,
+                pre_nms_top_n=50, post_nms_top_n=50, detections_per_img=10,
+                dtype=dtype,
+            )
+        else:  # released-ckpt geometry: R50-FPN, 91 classes
+            model = MaskRCNN(dtype=dtype)
+        canvas = jnp.zeros((mn, 2 * mn, 3), jnp.float32)
+        hw = jnp.asarray([mn, 2 * mn], jnp.float32)
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), canvas, hw)
+        det = JaxMaskRCNNDetector(model=model, params=params, min_size=mn, max_size=mx)
+        det.detect(frames, {})  # compile
+        times = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            det.detect(frames, {})
+            times.append((time.perf_counter() - t0 - rtt) * 1e3)
+        return {
+            "detect_ms_p50": round(float(np.percentile(times, 50)), 2),
+            "detect_ms_p90": round(float(np.percentile(times, 90)), 2),
+            "views": len(VIEWS),
+            "canvas": f"{mn}x{2 * mn}",
+        }
+
+    out = measure(jnp.bfloat16, 128, 256)
+    if not os.environ.get("BENCH_TINY"):
+        out["fp32_256x512"] = measure(jnp.float32, 256, 512)
+    return out
+
+
+def _bench_detector_loop(policy, params, n_envs=8, ep_steps=8):
+    """BASELINE config 3: the full closed loop with the TPU Mask R-CNN in
+    the obs loop (detector segmentation instead of simulator ground truth,
+    reference README.md:34,37). Random-init detector at the CLI's VIMA
+    defaults (128x256 canvas, bf16, device-side pasting);
+    score_threshold=0 so random weights still emit detections and the
+    crop pipeline does real work."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from vima_tpu.bridge.detector import JaxMaskRCNNDetector
+    from vima_tpu.bridge.env_loop import run_episode_batch
+    from vima_tpu.bridge.fake_env import FakeVimaEnv
+    from vima_tpu.bridge.tokenizer import PromptTokenizer
+    from vima_tpu.nn.maskrcnn import MaskRCNN
+
+    if os.environ.get("BENCH_TINY"):
+        model = MaskRCNN(
+            blocks=(1, 1, 1, 1), width=16, fpn_features=32, representation=64,
+            pre_nms_top_n=50, post_nms_top_n=50, detections_per_img=10,
+        )
+    else:
+        model = MaskRCNN(dtype=jnp.bfloat16)
+    canvas = jnp.zeros((128, 256, 3), jnp.float32)
+    hw = jnp.asarray([128, 256], jnp.float32)
+    dparams = jax.jit(model.init)(jax.random.PRNGKey(0), canvas, hw)
+    det = JaxMaskRCNNDetector(
+        model=model, params=dparams, min_size=128, max_size=256,
+        score_threshold=0.0,
+    )
+    tok = PromptTokenizer(None, vocab_size=policy.vocab_size, offline=True)
+
+    def make_envs():
+        return [
+            FakeVimaEnv(seed=i, n_objects=N_OBJS, oracle_max_steps=ep_steps)
+            for i in range(n_envs)
+        ]
+
+    kwargs = dict(
+        tokenize_prompt=tok, max_objs=N_OBJS, capacity=None, env_workers=4,
+        detector=det,
+    )
+    run_episode_batch(policy, params, make_envs(), **kwargs)  # compile
+    t0 = time.perf_counter()
+    res = run_episode_batch(policy, params, make_envs(), **kwargs)
+    w = time.perf_counter() - t0
     return {
-        "detect_ms_p50": round(float(np.percentile(times, 50)), 2),
-        "detect_ms_p90": round(float(np.percentile(times, 90)), 2),
-        "views": len(VIEWS),
-        "canvas": "256x512",
+        "env_steps_per_sec": round(sum(r["steps"] for r in res) / w, 1),
+        "n_envs": n_envs,
+        "n_streams": res[0]["n_streams"],
     }
 
 
@@ -881,6 +969,10 @@ def _bench_train(rtt):
                 print(f"[bench] train cost_analysis unavailable: {e!r}", file=sys.stderr)
             out[dtype_name] = entry
             _phase(f"train {dtype_name} {vmodel}")
+            del trainer, ds, batch, policy
+            import gc
+
+            gc.collect()
     return out
 
 
@@ -1000,6 +1092,9 @@ def main():
         "decode_v2_x": _get(ours, "decode_kernel", "bf16_speedup_v2"),
         "flash_x": _get(ours, "flash_kernel", "bf16_speedup"),
         "detector_ms": _get(ours, "detector", "detect_ms_p50"),
+        "detector_loop_sps": _get(
+            ours, "detector", "closed_loop_8env", "env_steps_per_sec"
+        ),
         "train_bf16_mfu": _get(ours, "train", "bf16", "est_mfu"),
         "train_200m_mfu": _get(ours, "train", "200m_bf16_remat", "est_mfu"),
     }

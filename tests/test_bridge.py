@@ -405,3 +405,81 @@ def test_n_streams_param_and_autotune():
     assert key in env_loop._STREAM_TUNE
     n = env_loop._auto_streams(key, 4)
     assert n in (1, 2, 4)
+
+
+def test_segm_bboxes_native_matches_numpy():
+    """The C segm-bbox pass must produce the numpy pipeline's exact dict
+    (integer extrema + counts). Skips only if the lib predates the symbol."""
+    import numpy as np
+    import pytest
+
+    from vima_tpu.native.crop_resize import segm_bboxes_native
+
+    rng = np.random.default_rng(3)
+    segm = rng.integers(0, 11, size=(64, 128)).astype(np.uint8)
+    nat = segm_bboxes_native(segm)
+    if nat is None:
+        pytest.skip("native lib not built with segm_bboxes_i32")
+    ys, xs = np.nonzero(segm)
+    ids = segm[ys, xs]
+    order = np.argsort(ids, kind="stable")
+    ids_s, ys_s, xs_s = ids[order], ys[order], xs[order]
+    uniq, starts = np.unique(ids_s, return_index=True)
+    ref = {
+        int(u): (
+            int(np.minimum.reduceat(ys_s, starts)[i]),
+            int(np.maximum.reduceat(ys_s, starts)[i]),
+            int(np.minimum.reduceat(xs_s, starts)[i]),
+            int(np.maximum.reduceat(xs_s, starts)[i]),
+            int(np.diff(np.append(starts, len(ids_s)))[i]),
+        )
+        for i, u in enumerate(uniq)
+    }
+    assert nat == ref
+    assert segm_bboxes_native(np.zeros((4, 4), np.uint8)) == {}
+
+
+def test_closed_loop_batched_detector():
+    """A batch-capable detector must be driven through ONE detect_batch
+    call per step round (not one detect per env), and the loop must finish
+    episodes with detector-derived object ids."""
+    from vima_tpu.bridge.env_loop import run_episode_batch
+    from vima_tpu.bridge.tokenizer import PromptTokenizer
+    from vima_tpu.nn.t5 import T5Config
+    from vima_tpu.policy import VIMAPolicy, init_params
+
+    policy = VIMAPolicy(
+        embed_dim=64, xf_n_layers=1, sattn_n_heads=4, xattn_n_heads=4,
+        vit_width=32, vit_layers=1, vit_heads=2, vit_output_dim=32,
+        bbox_mlp_hidden_dim=32,
+        t5_cfg=T5Config(d_model=48, d_ff=96, num_layers=1, num_heads=4, d_kv=12, vocab_size=64),
+        vocab_size=64,
+    )
+    params = init_params(policy)
+    tok = PromptTokenizer(tokenizer_path=None, vocab_size=64)
+    tok._tok = None
+
+    calls = {"batch": 0, "single": 0, "batch_envs": []}
+
+    class BatchDetector:
+        def detect(self, rgb, obs):
+            calls["single"] += 1
+            return obs["segm"]
+
+        def detect_batch(self, rgb_list, obs_list=None):
+            calls["batch"] += 1
+            calls["batch_envs"].append(len(rgb_list))
+            return [
+                {v: np.ones(f.shape[-2:], dtype=np.int32) for v, f in rgb.items()}
+                for rgb in rgb_list
+            ]
+
+    envs = [FakeVimaEnv(seed=i, oracle_max_steps=3) for i in range(2)]
+    results = run_episode_batch(
+        policy, params, envs, tokenize_prompt=tok, max_objs=4, capacity=128,
+        detector=BatchDetector(), pipeline=False,
+    )
+    assert all(r["done"] for r in results)
+    assert calls["single"] == 0  # never fell back to per-env detection
+    assert calls["batch"] >= 2  # initial obs + at least one step round
+    assert calls["batch_envs"][0] == 2  # all envs in one call

@@ -46,7 +46,9 @@ def exp_nms():
     from vima_tpu.nn.maskrcnn import nms_padded
 
     rng = np.random.default_rng(0)
-    for N, topk, label in ((3480, 1000, "rpn"), (90000, 100, "fg")):
+    # fg passes the model's candidate cap (nms_padded top-k's the scores
+    # first; an uncapped 90k-box call would build a 90000^2 IoU matrix)
+    for N, topk, cand, label in ((3480, 1000, None, "rpn"), (90000, 100, 4096, "fg")):
         wh = rng.uniform(8, 64, size=(N, 2))
         xy = rng.uniform(0, 448, size=(N, 2))
         boxes = jnp.asarray(
@@ -60,7 +62,8 @@ def exp_nms():
             def f(boxes, scores):
                 def body(acc, i):
                     idx, ks, kv = nms_padded(
-                        boxes, scores + acc * 1e-9, valid, 0.5, topk
+                        boxes, scores + acc * 1e-9, valid, 0.5, topk,
+                        candidates=cand,
                     )
                     return acc + ks.sum(), ()
 
@@ -69,7 +72,7 @@ def exp_nms():
 
             return f
 
-        timed(mk, (boxes, scores), f"nms {label} N={N} topk={topk}")
+        timed(mk, (boxes, scores), f"nms {label} N={N} topk={topk} cand={cand}")
 
 
 def exp_roi():

@@ -379,14 +379,38 @@ def run_episode_batch(
         concurrent.futures.ThreadPoolExecutor(env_workers) if env_workers > 1 else None
     )
 
+    # detector-in-the-loop (BASELINE config 3, flagship only): replace
+    # simulator segmentation; object ids come from the detections. With a
+    # batch-capable detector (JaxMaskRCNNDetector.detect_batch) all envs'
+    # frames go through ONE jit call per step round instead of one per env
+    # — per-env calls would serialize N dispatch+RTT round trips on the
+    # tunneled link.
+    batched_det = (
+        detector is not None
+        and hasattr(detector, "detect_batch")
+        and adapter.kind == "objects"
+    )
+
     def _prep(b, obs):
-        # detector-in-the-loop (BASELINE config 3, flagship only): replace
-        # simulator segmentation; object ids come from the detections.
         return adapter.prep_obs(
-            obs, envs[b].meta_info, max_objs=max_objs, detector=detector
+            obs, envs[b].meta_info, max_objs=max_objs,
+            detector=None if batched_det else detector,
         )
 
-    prepared = [_prep(b, obs_list[b]) for b in range(B)]
+    def _batch_detect_prep(pairs):
+        """pairs: [(b, obs)] -> fills prepared[b] with detector-segm obs."""
+        segs = detector.detect_batch([obs["rgb"] for _, obs in pairs])
+        for (b, obs), seg in zip(pairs, segs):
+            obs["segm"] = seg
+            # meta=None: object ids come from the detections (adapter's
+            # detector flow), not the simulator's ground-truth id universe
+            prepared[b] = adapter.prep_obs(obs, None, max_objs=max_objs)
+
+    prepared = [None] * B
+    if batched_det:
+        _batch_detect_prep([(b, obs_list[b]) for b in range(B)])
+    else:
+        prepared = [_prep(b, obs_list[b]) for b in range(B)]
 
     def _dispatch(s):
         """Async policy step for one stream (jax dispatch returns before the
@@ -416,8 +440,8 @@ def run_episode_batch(
                 # last resort: reset won't come back either — mark failed,
                 # keep the batch alive
                 return b, obs_list[b], True, {"success": False}, None, False
-            return b, obs, False, {}, _prep(b, obs), True
-        prep = None if d else _prep(b, obs)
+            return b, obs, False, {}, None if batched_det else _prep(b, obs), True
+        prep = None if (d or batched_det) else _prep(b, obs)
         return b, obs, d, info, prep, False
 
     def _complete(s):
@@ -445,21 +469,29 @@ def run_episode_batch(
             else [_env_task(t) for t in tasks]
         )
         restarted = []
+        pending = []  # batched-detector envs awaiting segm + prep
         for b, obs, d, info, prep, was_restart in stepped:
             results[b]["step_latencies"].append(dt)
             obs_list[b] = obs
             if was_restart:
                 results[b]["restarts"] += 1
                 restarted.append(b)
-                prepared[b] = prep
+                if prep is None and not done[b]:
+                    pending.append((b, obs))
+                else:
+                    prepared[b] = prep
                 continue  # the crashed step advanced nothing
             results[b]["steps"] += 1
             if d:
                 done[b] = True
                 results[b]["done"] = True
                 results[b]["success"] = bool(info.get("success", False))
+            elif prep is None:
+                pending.append((b, obs))
             else:
                 prepared[b] = prep
+        if pending:
+            _batch_detect_prep(pending)
         if restarted:
             reset_mask = jnp.asarray(
                 np.isin(np.asarray(s["ids"]), restarted), bool

@@ -29,6 +29,7 @@ from vima_tpu.native.crop_resize import (
     crop_pad_resize_batch,
     native_available,
     resize_inter_area,
+    segm_bboxes_native,
 )
 
 
@@ -74,7 +75,13 @@ def segm_bboxes(segm: np.ndarray) -> Dict[int, Tuple[int, int, int, int, int]]:
     """One pass over the segmentation: per-id (ymin, ymax, xmin, xmax,
     n_pixels). Replaces a per-object ``np.nonzero(segm == id)`` scan (the
     reference's loop, example.py:400-407) — identical extrema, O(pixels)
-    once instead of once per object."""
+    once instead of once per object. Prefers the native C pass (identical
+    integer extrema; the numpy nonzero/argsort/reduceat pipeline profiled
+    at ~0.26 ms per frame on the single-core host — this runs per view per
+    env per step in the closed loop)."""
+    native = segm_bboxes_native(segm)
+    if native is not None:
+        return native
     ys, xs = np.nonzero(segm)
     if len(ys) == 0:
         return {}

@@ -164,3 +164,37 @@ void crop_pad_resize_batch_u8(const uint8_t* frame, int H, int W,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Per-id bounding boxes over an int32 segmentation map in ONE pass.
+// out must hold (max_id + 1) rows of [ymin, ymax, xmin, xmax, count],
+// pre-initialized by this function. Ids outside [0, max_id] are ignored
+// (callers size max_id from segm.max()). Replaces the numpy
+// nonzero/argsort/reduceat pipeline in bridge/obs_prep.segm_bboxes, which
+// profiled at ~0.5 ms per frame pair on the single-core host — the
+// closed loop runs this per view per env per step.
+void segm_bboxes_i32(const int32_t* segm, int h, int w, int max_id,
+                     int32_t* out) {
+  const int n = max_id + 1;
+  for (int i = 0; i < n; ++i) {
+    int32_t* r = out + static_cast<size_t>(i) * 5;
+    r[0] = h; r[1] = -1; r[2] = w; r[3] = -1; r[4] = 0;
+  }
+  for (int y = 0; y < h; ++y) {
+    const int32_t* row = segm + static_cast<size_t>(y) * w;
+    for (int x = 0; x < w; ++x) {
+      const int32_t id = row[x];
+      if (id <= 0 || id > max_id) continue;
+      int32_t* r = out + static_cast<size_t>(id) * 5;
+      if (y < r[0]) r[0] = y;
+      if (y > r[1]) r[1] = y;
+      if (x < r[2]) r[2] = x;
+      if (x > r[3]) r[3] = x;
+      ++r[4];
+    }
+  }
+}
+
+}  // extern "C"
+

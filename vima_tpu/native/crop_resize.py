@@ -30,6 +30,11 @@ def _load():
             ctypes.POINTER(ctypes.c_int), ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint8),
         ]
+        if hasattr(lib, "segm_bboxes_i32"):  # present after a rebuild
+            lib.segm_bboxes_i32.argtypes = [
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.POINTER(ctypes.c_int32),
+            ]
         _lib = lib
     return _lib
 
@@ -125,3 +130,31 @@ def _resize_area_numpy(img: np.ndarray, dh: int, dw: int) -> np.ndarray:
     v11 = src[np.ix_(y1c, x1c)]
     v = (1 - ay) * ((1 - ax) * v00 + ax * v01) + ay * ((1 - ax) * v10 + ax * v11)
     return np.clip(np.rint(v), 0, 255).astype(np.uint8)
+
+
+def segm_bboxes_native(segm: np.ndarray):
+    """One C pass over an integer segmentation: {id: (ymin, ymax, xmin,
+    xmax, count)} for every id > 0. Returns None when the library (or the
+    symbol, pre-rebuild) is unavailable — callers fall back to the numpy
+    implementation in bridge/obs_prep (identical results; integer extrema
+    have no rounding semantics to diverge on)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "segm_bboxes_i32"):
+        return None
+    segm = np.ascontiguousarray(segm, dtype=np.int32)
+    if segm.size == 0:
+        return {}
+    max_id = int(segm.max())
+    if max_id <= 0:
+        return {}
+    h, w = segm.shape
+    out = np.empty((max_id + 1, 5), dtype=np.int32)
+    lib.segm_bboxes_i32(
+        segm.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), h, w, max_id,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return {
+        int(i): (int(r[0]), int(r[1]), int(r[2]), int(r[3]), int(r[4]))
+        for i, r in enumerate(out)
+        if r[4] > 0
+    }
