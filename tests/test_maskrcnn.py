@@ -478,3 +478,22 @@ def test_bottleneck_matches_torch_convs():
 
     got = np.asarray(mod.apply(params, jnp.asarray(x)))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_multiscale_roi_chunking_is_transparent():
+    """roi_chunk processing (lax.map over RoI groups, incl. padding) must
+    reproduce the single-pass result (same samples; only XLA's fusion
+    scheduling differs under the scan, so tolerance is fp32 rounding)."""
+    from vima_tpu.nn.maskrcnn import multiscale_roi_align
+
+    rng = np.random.RandomState(13)
+    pyramid = [jnp.asarray(rng.randn(16 // s, 32 // s, 8).astype(np.float32)) for s in (1, 2, 4, 8)]
+    strides = [4, 8, 16, 32]
+    boxes = np.concatenate(
+        [rng.uniform(0, 40, (37, 2)), rng.uniform(41, 120, (37, 2))], axis=1
+    ).astype(np.float32)
+    whole = multiscale_roi_align(pyramid, jnp.asarray(boxes), 5, strides, roi_chunk=0)
+    chunked = multiscale_roi_align(pyramid, jnp.asarray(boxes), 5, strides, roi_chunk=8)
+    np.testing.assert_allclose(
+        np.asarray(whole), np.asarray(chunked), rtol=1e-5, atol=2e-5
+    )

@@ -230,12 +230,21 @@ class JaxMaskRCNNDetector:
         K, h, w = frames.shape[:3]
         if self._jit is None or self._frame_hw != (h, w):
             self._build(h, w)
-        Kp = 1 << (K - 1).bit_length()
-        if Kp != K:
-            frames = np.concatenate(
-                [frames, np.zeros((Kp - K, h, w, 3), np.float32)]
-            )
-        seg = np.asarray(self._jit(self.params, frames))[:K]
+        # Cap the canvases per jit call: each canvas's box stage transients
+        # (RoI gathers, NMS matrices) are a few hundred MB even chunked, so
+        # an unbounded vmap width would scale transient HBM with env count.
+        CHUNK = 8
+        segs = []
+        for i in range(0, K, CHUNK):
+            part = frames[i : i + CHUNK]
+            k = part.shape[0]
+            kp = 1 << (k - 1).bit_length()
+            if kp != k:
+                part = np.concatenate(
+                    [part, np.zeros((kp - k, h, w, 3), np.float32)]
+                )
+            segs.append(np.asarray(self._jit(self.params, part))[:k])
+        seg = np.concatenate(segs)
         V = len(views)
         return [
             {v: seg[i * V + j] for j, v in enumerate(views)}

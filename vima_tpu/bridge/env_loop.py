@@ -73,10 +73,19 @@ def _ceil_to(n: int, m: int) -> int:
 # path is irreducibly  device_step + fetch_RTT + host_work  (the action must
 # cross the tunnel before the simulator can produce the next obs), so extra
 # streams only help until the device is fed: n ~= ceil(period / device_step).
-# The tunneled-TPU RTT is ~30 ms (CLAUDE.md), device steps ~10-15 ms, so the
-# tuned count lands at 3-5; the first call (nothing measured yet) uses 2.
+#
+# Two HARD caps bound the tuned count (round-4 measurements):
+#   * 3 streams — the tunneled link is one socket, so concurrent fetches
+#     largely SERIALIZE: 8 batch-1 streams at 8 envs measured 23 env-steps/s
+#     (every dispatch paying the full ~25 ms RTT back to back) vs ~180 for
+#     the same work in 1-2 streams. Past double/triple buffering, extra
+#     streams only add socket + single-core-GIL contention.
+#   * per-stream batch >= 8 once B allows it — device throughput is
+#     strongly sub-linear in batch (B=64 is ~6k env-steps/s, B=1 is ~1.3k),
+#     so slicing a big batch into narrow streams wastes the chip.
 _STREAM_TUNE: Dict = {}
-_MAX_STREAMS = 8
+_MAX_STREAMS = 3
+_MIN_STREAM_BATCH = 8
 
 
 @jax.jit
@@ -98,7 +107,7 @@ def _auto_streams(tune_key, B: int) -> int:
         target = 2
     else:
         target = int(np.ceil(rec["period"] / rec["device_step"]))
-    target = max(1, min(target, _MAX_STREAMS, B))
+    target = max(1, min(target, _MAX_STREAMS, B, max(1, B // _MIN_STREAM_BATCH)))
     # prefer an equal split (unequal sub-batches compile extra executables)
     divisors = [n for n in range(1, B + 1) if B % n == 0]
     return min(divisors, key=lambda n: (abs(n - target), -n))

@@ -206,6 +206,22 @@ def main(argv=None):
         "inference numerics exactly",
     )
     p.add_argument(
+        "--detector-proposals",
+        type=int,
+        default=256,
+        help="RPN proposals kept after NMS (torchvision default 1000). The "
+        "box-stage RoIAlign cost is linear in this; VIMA scenes hold <=16 "
+        "objects, so 256 is generous. Pass 1000 for torchvision-exact "
+        "behavior",
+    )
+    p.add_argument(
+        "--detector-max-detections",
+        type=int,
+        default=32,
+        help="final detection budget per frame (torchvision default 100); "
+        "the mask stage is linear in this",
+    )
+    p.add_argument(
         "--all-partitions",
         action="store_true",
         help="sweep every task in all 4 generalization partitions (L1-L4) and "
@@ -235,6 +251,8 @@ def main(argv=None):
             min_size=cfg.detector_min_size,
             max_size=cfg.detector_max_size,
             dtype=jnp.bfloat16 if cfg.detector_dtype == "bf16" else jnp.float32,
+            post_nms_top_n=cfg.detector_proposals,
+            detections_per_img=cfg.detector_max_detections,
         )
 
     tokenize = PromptTokenizer(cfg.tokenizer, vocab_size=policy.vocab_size)

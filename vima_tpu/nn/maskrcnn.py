@@ -404,7 +404,15 @@ def fpn_level_assignment(boxes, num_levels: int):
     return (lvl - 2).astype(jnp.int32)
 
 
-def multiscale_roi_align(pyramid, boxes, out_size: int, strides, sampling_ratio: int = 2):
+# Default RoI chunk for multiscale_roi_align (overridable per call): bounds
+# the corner-gather transients; 0 disables chunking.
+ROI_CHUNK = 256
+
+
+def multiscale_roi_align(
+    pyramid, boxes, out_size: int, strides, sampling_ratio: int = 2,
+    roi_chunk: int | None = None,
+):
     """RoIAlign over an FPN pyramid with canonical level selection.
 
     pyramid: list of (Hl, Wl, C); boxes (N, 4) -> (N, out, out, C).
@@ -415,6 +423,12 @@ def multiscale_roi_align(pyramid, boxes, out_size: int, strides, sampling_ratio:
     (The round-3 version ran every RoI on every level and selected — 4x
     the gather traffic; numerically identical since the per-level sample
     math below is the same as :func:`roi_align` with that level's scale.)
+
+    RoIs are processed in ``roi_chunk`` groups via ``lax.map``: the four
+    corner gathers materialize (chunk, out, s, out, s, C) each (~200 MB at
+    the torchvision 1000-proposal budget with C=256), and a vmapped
+    multi-canvas detect would otherwise multiply that transient by the
+    batch — measured OOM on the 16 GB chip at 16 canvases.
     """
     lvl = fpn_level_assignment(boxes, len(pyramid))  # (N,) 0-based
     C = pyramid[0].shape[-1]
@@ -426,6 +440,29 @@ def multiscale_roi_align(pyramid, boxes, out_size: int, strides, sampling_ratio:
     base = jnp.asarray(bases, jnp.int32)[lvl]
     scale = 1.0 / jnp.asarray(strides, jnp.float32)[lvl]
 
+    N = boxes.shape[0]
+    if roi_chunk is None:
+        roi_chunk = ROI_CHUNK
+    if roi_chunk and N > roi_chunk:
+        pad = (-N) % roi_chunk
+        n_chunks = (N + pad) // roi_chunk
+
+        def to_chunks(a):
+            if pad:
+                a = jnp.concatenate([a, jnp.zeros((pad,) + a.shape[1:], a.dtype)])
+            return a.reshape((n_chunks, roi_chunk) + a.shape[1:])
+
+        chunks = tuple(to_chunks(a) for a in (boxes, base, Hl, Wl, scale))
+        out = jax.lax.map(
+            lambda c: _roi_align_flat_chunk(flat, *c, out_size, sampling_ratio),
+            chunks,
+        )
+        return out.reshape((N + pad, out_size, out_size, C))[:N]
+    return _roi_align_flat_chunk(flat, boxes, base, Hl, Wl, scale, out_size, sampling_ratio)
+
+
+def _roi_align_flat_chunk(flat, boxes, base, Hl, Wl, scale, out_size, sampling_ratio):
+    C = flat.shape[-1]
     n = sampling_ratio
     N = boxes.shape[0]
     b = boxes.astype(jnp.float32) * scale[:, None]
