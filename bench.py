@@ -336,11 +336,12 @@ def bench_ours():
 
     skip = set(os.environ.get("BENCH_SKIP", "").split(","))
 
-    # ---- closed loop: 8 fake envs through the pipelined bridge loop
+    # ---- closed loop: fake envs through the pipelined bridge loop, in a
+    # fresh subprocess (see _run_section)
     closed = None
     if "closed" not in skip:
-        closed = _bench_closed_loop(policy, params, capacity)
-        _phase("closed loop 8 envs")
+        closed = _section_subprocess("closed_loop")
+        _phase("closed loop (subprocess)")
 
     prompt_group = None
     if "prompt_group" not in skip:
@@ -372,11 +373,10 @@ def bench_ours():
         detector = _bench_detector(rtt)
         _phase("detector")
         if detector is not None and "detector_loop" not in skip:
-            try:
-                detector["closed_loop_8env"] = _bench_detector_loop(policy, params)
-                _phase("closed loop with detector")
-            except Exception as e:
-                print(f"[bench] detector loop failed: {e!r}", file=sys.stderr)
+            loop = _section_subprocess("detector_loop")
+            if loop is not None:
+                detector["closed_loop_8env"] = loop
+            _phase("closed loop with detector (subprocess)")
 
     train = None
     if "train" not in skip:
@@ -1082,7 +1082,57 @@ def _get(d, *path):
     return d
 
 
+def _run_section(section: str):
+    """Child-process entry (bench.py --section NAME): build the policy,
+    run ONE bench section, print its JSON. The closed-loop sections run
+    here because their numbers degrade ~2x inside the aged main bench
+    process (measured: 86 ms/dispatch in-process vs 43 in a fresh one at
+    identical code/state; a dedicated serving process is also what
+    production looks like). The compile cache makes the child cheap."""
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        str(__import__("pathlib").Path(__file__).parent / ".cache" / "jax_comp_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from vima_tpu.ckpt.registry import get_config
+    from vima_tpu.policy import init_params
+
+    policy = get_config(MODEL).build()
+    params = init_params(policy)
+    if section == "closed_loop":
+        out = _bench_closed_loop(policy, params, 512)
+    elif section == "detector_loop":
+        out = _bench_detector_loop(policy, params)
+    else:
+        raise SystemExit(f"unknown section {section}")
+    print(json.dumps(out))
+
+
+def _section_subprocess(section: str, timeout_s: int = 1800):
+    import subprocess
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, __file__, "--section", section],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+        if proc.returncode != 0:
+            print(f"[bench] {section} subprocess failed:\n{proc.stderr[-2000:]}",
+                  file=sys.stderr)
+            return None
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+    except Exception as e:
+        print(f"[bench] {section} subprocess error: {e!r}", file=sys.stderr)
+        return None
+
+
 def main():
+    if len(sys.argv) > 2 and sys.argv[1] == "--section":
+        _run_section(sys.argv[2])
+        return
     ours = bench_ours()
     ref = bench_reference()
     vs = None

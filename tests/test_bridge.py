@@ -375,8 +375,10 @@ def test_fault_rejoin_decoder_only_keeps_prefill():
 
 def test_n_streams_param_and_autotune():
     """Explicit n_streams splits the batch into that many pipelined streams;
-    n_streams=None auto-tunes from the previous call's measured timings
-    (first call defaults to 2) and records the choice in the results."""
+    n_streams=None auto-tunes from the previous call's measured timings,
+    capped by the min-per-stream-batch rule (B=4 < 2*_MIN_STREAM_BATCH ->
+    1 stream: narrow streams serialize their fetches on the single-socket
+    tunnel, round-4 measurement) and records the choice in the results."""
     from vima_tpu.bridge import env_loop
     from vima_tpu.bridge.env_loop import run_episode_batch
     from vima_tpu.bridge.tokenizer import PromptTokenizer
@@ -399,12 +401,19 @@ def test_n_streams_param_and_autotune():
     r_auto = run_episode_batch(
         policy, params, make_envs(), tokenize_prompt=tok, max_objs=4, capacity=128
     )
-    assert all(r["n_streams"] == 2 for r in r_auto)  # first call: default 2
-    # the call recorded tune stats; a second auto call must pick a divisor of B
+    assert all(r["n_streams"] == 1 for r in r_auto)  # min-batch cap at B=4
+    # the call recorded tune stats; a second auto call must pick a divisor
+    # of B within the stream caps
     key = (id(policy), 4)
     assert key in env_loop._STREAM_TUNE
     n = env_loop._auto_streams(key, 4)
-    assert n in (1, 2, 4)
+    assert n == 1
+    # a large batch may split, but never below _MIN_STREAM_BATCH envs per
+    # stream or past _MAX_STREAMS
+    for B in (16, 32, 64):
+        n = env_loop._auto_streams(("nokey", B), B)
+        assert 1 <= n <= env_loop._MAX_STREAMS + 1  # divisor snap may round up
+        assert B // n >= env_loop._MIN_STREAM_BATCH
 
 
 def test_segm_bboxes_native_matches_numpy():
