@@ -915,13 +915,14 @@ def _bench_train(rtt):
 
     model = os.environ.get("BENCH_TRAIN_MODEL", "vima-20m")
     BT, TT, N_CHAIN = 8, 6, 10
+    BT_BIG = 32  # large-batch 200M entry (B=8 leaves the MXU starved)
     if os.environ.get("BENCH_TINY"):  # CPU smoke: tiny t5, 2-step chains
-        BT, N_CHAIN = 2, 2
+        BT, BT_BIG, N_CHAIN = 2, 2, 2
     tok = PromptTokenizer(None, vocab_size=32128, offline=True)
 
     out = {"model": model, "batch_size": BT, "max_steps": TT}
     with tempfile.TemporaryDirectory() as tmp:
-        for i in range(BT):
+        for i in range(max(BT, BT_BIG)):
             env = FakeVimaEnv(seed=i, n_objects=N_OBJS, oracle_max_steps=TT - 2)
             ep = record_episode(env, tok, max_objs=N_OBJS, seed=i)
             save_episode(f"{tmp}/episode_{i:05d}.npz", ep)
@@ -931,14 +932,18 @@ def _bench_train(rtt):
             (v for k, v in _PEAK_FLOPS.items() if k.lower() in device_kind.lower()), None
         )
         variants = [
-            ("fp32", jnp.float32, model, False),
-            ("bf16", jnp.bfloat16, model, False),
+            ("fp32", jnp.float32, model, False, BT),
+            ("bf16", jnp.bfloat16, model, False, BT),
         ]
         if not os.environ.get("BENCH_TINY") and model != "vima-200m":
             # the 200M-class config the released flagship was trained at:
-            # bf16 compute + rematerialized blocks (grad memory)
-            variants.append(("200m_bf16_remat", jnp.bfloat16, "vima-200m", True))
-        for dtype_name, dtype, vmodel, vremat in variants:
+            # bf16 compute + rematerialized blocks (grad memory), at the
+            # comparable small batch and at a chip-filling one
+            variants.append(("200m_bf16_remat", jnp.bfloat16, "vima-200m", True, BT))
+            variants.append(
+                ("200m_bf16_remat_b32", jnp.bfloat16, "vima-200m", True, BT_BIG)
+            )
+        for dtype_name, dtype, vmodel, vremat, vbt in variants:
             if os.environ.get("BENCH_TINY"):
                 from vima_tpu.nn.t5 import T5Config
                 from vima_tpu.policy.vima import VIMAPolicy
@@ -958,7 +963,7 @@ def _bench_train(rtt):
                 tmp, max_steps=TT, max_objs=N_OBJS, prompt_len=64,
                 **dataset_kwargs_for_policy(policy),
             )
-            batch = jax.tree_util.tree_map(jnp.asarray, next(ds.batches(BT)))
+            batch = jax.tree_util.tree_map(jnp.asarray, next(ds.batches(vbt)))
             trainer = Trainer(policy, make_mesh(), learning_rate=1e-4)
             trainer.init(init_params(policy))
             m = trainer.step(batch)  # compile
@@ -972,9 +977,10 @@ def _bench_train(rtt):
                 samples.append((time.perf_counter() - t0 - rtt) / N_CHAIN)
             p50 = float(np.percentile(samples, 50))
             entry = {
+                "batch_size": vbt,
                 "step_ms_p50": round(p50 * 1e3, 2),
                 "steps_per_sec": round(1.0 / p50, 2),
-                "env_steps_per_sec": round(BT * TT / p50, 1),
+                "env_steps_per_sec": round(vbt * TT / p50, 1),
             }
             try:
                 import jax.random as jr
@@ -1171,6 +1177,7 @@ def main():
         ),
         "train_bf16_mfu": _get(ours, "train", "bf16", "est_mfu"),
         "train_200m_mfu": _get(ours, "train", "200m_bf16_remat", "est_mfu"),
+        "train_200m_b32_mfu": _get(ours, "train", "200m_bf16_remat_b32", "est_mfu"),
     }
     result = {
         "metric": f"p50_step_latency_{MODEL}",

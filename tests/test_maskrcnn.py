@@ -497,3 +497,30 @@ def test_multiscale_roi_chunking_is_transparent():
     np.testing.assert_allclose(
         np.asarray(whole), np.asarray(chunked), rtol=1e-5, atol=2e-5
     )
+
+
+def test_nms_fixpoint_fuzz_vs_greedy():
+    """The fixpoint NMS must equal greedy NMS on many random geometries —
+    including clustered boxes with long suppression chains (the case the
+    prefix-extension convergence argument must cover)."""
+    from vima_tpu.nn.maskrcnn import nms_padded
+
+    fn = jax.jit(
+        lambda b, s, v: nms_padded(b, s, v, 0.5, b.shape[0]),
+    )
+    for seed in range(25):
+        rng = np.random.RandomState(100 + seed)
+        n = 60
+        # clustered: few centers, jittered boxes around them -> deep chains
+        centers = rng.uniform(10, 90, (4, 2))
+        which = rng.randint(0, 4, n)
+        xy = centers[which] + rng.uniform(-6, 6, (n, 2))
+        wh = rng.uniform(4, 18, (n, 2))
+        boxes = np.concatenate([xy, xy + wh], axis=1).astype(np.float32)
+        scores = rng.uniform(0.01, 1.0, n).astype(np.float32)
+        valid = rng.rand(n) > 0.1
+        ref = _np_nms(boxes[valid], scores[valid], 0.5)
+        ref_idx = np.flatnonzero(valid)[ref]
+        idx, ks, kv = fn(boxes, scores, valid)
+        got = [int(i) for i, v in zip(np.asarray(idx), np.asarray(kv)) if v]
+        assert got == list(ref_idx), f"seed {seed}"
