@@ -524,3 +524,28 @@ def test_nms_fixpoint_fuzz_vs_greedy():
         idx, ks, kv = fn(boxes, scores, valid)
         got = [int(i) for i, v in zip(np.asarray(idx), np.asarray(kv)) if v]
         assert got == list(ref_idx), f"seed {seed}"
+
+
+def test_detect_batch_matches_per_env_detect(tiny_model):
+    """detect_batch (one padded multi-canvas jit call) must reproduce the
+    per-env detect() segmentations exactly, including the power-of-two
+    padding path (3 envs -> pad to 4)."""
+    from vima_tpu.bridge.detector import JaxMaskRCNNDetector
+
+    model, params = tiny_model
+    det = JaxMaskRCNNDetector(
+        model=model, params=params, score_threshold=0.0, min_size=64, max_size=64
+    )
+    rng = np.random.RandomState(21)
+    rgb_list = [
+        {
+            "front": rng.randint(0, 255, (3, 64, 128), dtype=np.uint8),
+            "top": rng.randint(0, 255, (3, 64, 128), dtype=np.uint8),
+        }
+        for _ in range(3)
+    ]
+    batched = det.detect_batch(rgb_list)
+    for rgb, seg in zip(rgb_list, batched):
+        single = det.detect(rgb, {})
+        for v in rgb:
+            np.testing.assert_array_equal(seg[v], single[v])
