@@ -409,10 +409,11 @@ def test_n_streams_param_and_autotune():
     n = env_loop._auto_streams(key, 4)
     assert n == 1
     # a large batch may split, but never below _MIN_STREAM_BATCH envs per
-    # stream or past _MAX_STREAMS
+    # stream or past _MAX_STREAMS (the cap is HARD: divisor snapping only
+    # considers divisors within both caps, ties break to fewer streams)
     for B in (16, 32, 64):
         n = env_loop._auto_streams(("nokey", B), B)
-        assert 1 <= n <= env_loop._MAX_STREAMS + 1  # divisor snap may round up
+        assert 1 <= n <= env_loop._MAX_STREAMS
         assert B // n >= env_loop._MIN_STREAM_BATCH
 
 

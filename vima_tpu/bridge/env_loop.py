@@ -75,16 +75,17 @@ def _ceil_to(n: int, m: int) -> int:
 # streams only help until the device is fed: n ~= ceil(period / device_step).
 #
 # Two HARD caps bound the tuned count (round-4 measurements):
-#   * 3 streams — the tunneled link is one socket, so concurrent fetches
+#   * 4 streams — the tunneled link is one socket, so concurrent fetches
 #     largely SERIALIZE: 8 batch-1 streams at 8 envs measured 23 env-steps/s
 #     (every dispatch paying the full ~25 ms RTT back to back) vs ~180 for
-#     the same work in 1-2 streams. Past double/triple buffering, extra
-#     streams only add socket + single-core-GIL contention.
+#     the same work in 1-2 streams. Past double/triple/quad buffering, extra
+#     streams only add socket + single-core-GIL contention. (4, not 3: the
+#     round-4 64-env optimum — 739 env-steps/s — ran 4 streams of 16.)
 #   * per-stream batch >= 8 once B allows it — device throughput is
 #     strongly sub-linear in batch (B=64 is ~6k env-steps/s, B=1 is ~1.3k),
 #     so slicing a big batch into narrow streams wastes the chip.
 _STREAM_TUNE: Dict = {}
-_MAX_STREAMS = 3
+_MAX_STREAMS = 4
 _MIN_STREAM_BATCH = 8
 
 
@@ -108,9 +109,16 @@ def _auto_streams(tune_key, B: int) -> int:
     else:
         target = int(np.ceil(rec["period"] / rec["device_step"]))
     target = max(1, min(target, _MAX_STREAMS, B, max(1, B // _MIN_STREAM_BATCH)))
-    # prefer an equal split (unequal sub-batches compile extra executables)
-    divisors = [n for n in range(1, B + 1) if B % n == 0]
-    return min(divisors, key=lambda n: (abs(n - target), -n))
+    # prefer an equal split (unequal sub-batches compile extra executables);
+    # only divisors within the HARD caps are candidates, and ties snap to
+    # the SMALLER divisor — the tunneled link serializes concurrent fetches,
+    # so when in doubt fewer, wider streams win (see _MAX_STREAMS above)
+    divisors = [
+        n
+        for n in range(1, B + 1)
+        if B % n == 0 and n <= _MAX_STREAMS and (n == 1 or B // n >= _MIN_STREAM_BATCH)
+    ]
+    return min(divisors, key=lambda n: (abs(n - target), n))
 
 
 @jax.jit

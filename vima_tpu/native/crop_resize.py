@@ -147,6 +147,12 @@ def segm_bboxes_native(segm: np.ndarray):
     max_id = int(segm.max())
     if max_id <= 0:
         return {}
+    if max_id > 4096:
+        # The C pass allocates (max_id+1) x 5 int32 rows, so a single huge
+        # id (an oracle sentinel/uid) would cost max_id*20 bytes per call;
+        # it also skips negative ids the numpy path counts. Defer to the
+        # numpy implementation, whose cost depends only on ids present.
+        return None
     h, w = segm.shape
     out = np.empty((max_id + 1, 5), dtype=np.int32)
     lib.segm_bboxes_i32(

@@ -407,7 +407,15 @@ def fused_cached_attention_v3(
     >= valid_len are neither DMA'd nor computed (they must be causally or
     mask excluded: exp underflows to exactly 0 there, so skipping is
     bit-neutral). q_offset defaults to valid_len - C. Returns (B, H, C, D)
-    in cache_v.dtype."""
+    in cache_v.dtype.
+
+    STAGED, not in the production dispatch: ``ops.attention.cached_attend``
+    routes to v2 or XLA only. The block-skipping O(written)-vs-O(capacity)
+    saving measured SLOWER than v2 at the production pattern in the cache's
+    production dtype (BENCH_r04 decode probe: bf16 0.285 ms v3 vs 0.177 v2;
+    fp32 0.348 vs 0.359 — a wash) — the head-stacked layout's extra
+    relayout outweighs the skipped DMA at S=512. Revisit if capacities grow
+    past the architecture's 512 cap."""
     B, H, C, D = q.shape
     S, E = cache_k.shape[1], cache_k.shape[2]
     assert E == H * D, (E, H, D)

@@ -108,7 +108,18 @@ def main(argv=None):
             return ShardedTrajectoryDataset(
                 root,
                 validate_against={
+                    # full bucket geometry: a packed root silently overrides
+                    # the CLI's shape flags, so any mismatch must fail loudly
+                    # at startup instead of training at unexpected shapes
                     "obs_mode": ds_kwargs["obs_mode"],
+                    "max_steps": ds_kwargs["max_steps"],
+                    "max_objs": ds_kwargs["max_objs"],
+                    "prompt_len": ds_kwargs["prompt_len"],
+                    **{
+                        k: ds_kwargs[k]
+                        for k in ("word_len", "max_assets")
+                        if ds_kwargs.get(k) is not None
+                    },
                     **(
                         {"img_hw": ds_kwargs["img_hw"],
                          "tokens_per_img": ds_kwargs["tokens_per_img"]}
