@@ -180,6 +180,27 @@ class JaxMaskRCNNDetector:
         self._max = max_size
         self._host_paste = host_paste
         self._jit = None  # built lazily once the frame geometry is known
+        self._fused = {}  # (policy id, max_objs) -> FusedDetectStep
+
+    def make_fused_step(self, policy, *, max_objs: int, views=None):
+        """One-dispatch detect->prep->policy-step for the closed loop (see
+        bridge/fused_detect). Returns None for host-paste instances (the
+        per-object numpy oracle path has no device segm to fuse on)."""
+        if self._host_paste:
+            return None
+        key = (id(policy), max_objs)
+        fs = self._fused.get(key)
+        if fs is None:
+            from vima_tpu.bridge.fused_detect import FusedDetectStep
+
+            fs = FusedDetectStep(
+                self,
+                policy,
+                max_objs=max_objs,
+                views=tuple(views) if views else tuple(sorted(policy.views)),
+            )
+            self._fused[key] = fs
+        return fs
 
     def _build(self, h: int, w: int):
         import jax

@@ -34,6 +34,7 @@ Replaces the reference harness loop (scripts/example.py:100-240) with:
 from __future__ import annotations
 
 import concurrent.futures
+import functools
 import time
 from typing import Callable, Dict, List, Optional, Sequence
 
@@ -119,6 +120,19 @@ def _auto_streams(tune_key, B: int) -> int:
         if B % n == 0 and n <= _MAX_STREAMS and (n == 1 or B // n >= _MIN_STREAM_BATCH)
     ]
     return min(divisors, key=lambda n: (abs(n - target), n))
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _slice_state(state, start: int, size: int):
+    """Slice a whole-batch RolloutState into one stream's [start, start+size)
+    sub-batch (scalar leaves — write_index — pass through). The episode-start
+    prompt encode runs ONCE for the full env batch (one dispatch instead of
+    one per stream; round-4 paid ~34 ms wall per 4-env group, ~16 serial
+    dispatches at 64 envs) and the streams carve their states out of it."""
+    return jax.tree_util.tree_map(
+        lambda x: x if x.ndim == 0 else jax.lax.slice_in_dim(x, start, start + size, axis=0),
+        state,
+    )
 
 
 @jax.jit
@@ -336,12 +350,12 @@ def run_episode_batch(
 
     n_objs = adapter.group_img_tokens(tokenized)
     tokens_per_img = n_objs * len(views) if adapter.kind == "objects" else n_objs
+    # whole-batch buckets: the prompt encode runs ONCE for all B envs
     n_words_pad = _ceil_to(
-        max(sum(len(tokenized[b][0]) for b in g) for g in groups) or 1, PROMPT_WORD_BUCKET
+        sum(len(t[0]) for t in tokenized) or 1, PROMPT_WORD_BUCKET
     )
     n_imgs_pad = _ceil_to(
-        max(sum(adapter.n_imgs(tokenized[b][2]) for b in g) for g in groups),
-        PROMPT_IMG_BUCKET,
+        max(sum(adapter.n_imgs(t[2]) for t in tokenized), 1), PROMPT_IMG_BUCKET
     )
     lp_req = max(
         sum(1 if t == 0 else tokens_per_img for t in types) for _, types, _, _ in tokenized
@@ -360,17 +374,23 @@ def run_episode_batch(
             "capacity= or lower max_steps/max_objs"
         )
 
+    # ONE bucketed encode for the whole env batch (one dispatch; round 4
+    # encoded per stream — ~16 serial ~34 ms dispatches at 64 envs), then
+    # each stream slices its sub-batch state out of it.
+    state_all = _encode_prompt_group(
+        adapter,
+        params,
+        tokenized,
+        capacity,
+        n_objs=n_objs,
+        n_words_pad=n_words_pad,
+        n_imgs_pad=n_imgs_pad,
+        lp_pad=lp_pad,
+    )
     streams = []
     for g in groups:
-        state = _encode_prompt_group(
-            adapter,
-            params,
-            [tokenized[b] for b in g],
-            capacity,
-            n_objs=n_objs,
-            n_words_pad=n_words_pad,
-            n_imgs_pad=n_imgs_pad,
-            lp_pad=lp_pad,
+        state = (
+            state_all if len(groups) == 1 else _slice_state(state_all, g[0], len(g))
         )
         streams.append(
             {
@@ -384,6 +404,7 @@ def run_episode_batch(
                 "init_pos_count": jnp.copy(state.pos_count),
             }
         )
+    del state_all
 
     results = [
         {"steps": 0, "success": False, "done": False, "restarts": 0, "step_latencies": []}
@@ -397,22 +418,41 @@ def run_episode_batch(
     )
 
     # detector-in-the-loop (BASELINE config 3, flagship only): replace
-    # simulator segmentation; object ids come from the detections. With a
-    # batch-capable detector (JaxMaskRCNNDetector.detect_batch) all envs'
-    # frames go through ONE jit call per step round instead of one per env
-    # — per-env calls would serialize N dispatch+RTT round trips on the
-    # tunneled link.
+    # simulator segmentation; object ids come from the detections. Three
+    # tiers, best available first:
+    #   * FUSED (JaxMaskRCNNDetector.make_fused_step): detector + on-device
+    #     crop prep + policy step in ONE dispatch per stream tick — raw
+    #     uint8 frames up, packed actions down, zero host crop work;
+    #   * batched (detect_batch): one detector jit per step round for all
+    #     envs' frames, host crops — two tunnel crossings per tick;
+    #   * per-env detect inside prep_obs (host-paste/torch detectors).
+    fused_step = None
+    if detector is not None and adapter.kind == "objects" and hasattr(
+        detector, "make_fused_step"
+    ):
+        fused_step = detector.make_fused_step(
+            policy, max_objs=max_objs, views=views
+        )
     batched_det = (
-        detector is not None
+        fused_step is None
+        and detector is not None
         and hasattr(detector, "detect_batch")
         and adapter.kind == "objects"
     )
 
-    def _prep(b, obs):
-        return adapter.prep_obs(
-            obs, envs[b].meta_info, max_objs=max_objs,
-            detector=None if batched_det else detector,
-        )
+    if fused_step is not None:
+        from vima_tpu.bridge.fused_detect import frames_feed
+
+        def _prep(b, obs):
+            return frames_feed(obs, views)
+
+    else:
+
+        def _prep(b, obs):
+            return adapter.prep_obs(
+                obs, envs[b].meta_info, max_objs=max_objs,
+                detector=None if batched_det else detector,
+            )
 
     def _batch_detect_prep(pairs):
         """pairs: [(b, obs)] -> fills prepared[b] with detector-segm obs."""
@@ -432,10 +472,15 @@ def run_episode_batch(
     def _dispatch(s):
         """Async policy step for one stream (jax dispatch returns before the
         device finishes; the other stream's host work overlaps)."""
-        batch = stack_obs_batch([prepared[b] for b in s["ids"]])
-        actions, s["state"] = adapter.step(
-            params, s["state"], jax.tree_util.tree_map(jnp.asarray, batch)
-        )
+        if fused_step is not None:
+            frames = np.stack([prepared[b]["frames"] for b in s["ids"]])
+            ee = np.asarray([prepared[b]["ee"] for b in s["ids"]], np.int32)
+            actions, s["state"] = fused_step(params, s["state"], frames, ee)
+        else:
+            batch = stack_obs_batch([prepared[b] for b in s["ids"]])
+            actions, s["state"] = adapter.step(
+                params, s["state"], jax.tree_util.tree_map(jnp.asarray, batch)
+            )
         s["inflight"] = actions
 
     def _env_task(args):
