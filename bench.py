@@ -20,8 +20,11 @@ Sections:
     utilization, not useful-model-flop efficiency;
   * closed-loop 8 fake envs through the pipelined bridge.env_loop —
     host+device wall per policy dispatch vs device-only;
-  * attention kernel dispatch counters (fails loudly if a flash-worthy
-    shape fell back to XLA).
+  * attention kernel dispatch counters. ``flash_fallbacks`` is scoped to
+    flash-ENABLED runs (the default is off — measured slower, see
+    ops.attention) and fails loudly only then; the closed-loop sections
+    separately assert ``rollout_xla_cached_attends == 0`` on TPU (the
+    production cached-rollout path must stay on the decode kernel).
 
 Baseline: the PyTorch reference's own per-step behavior (full recompute of
 the growing sequence each step, scripts/example.py:111-240) at the same
@@ -409,7 +412,14 @@ def bench_ours():
         "attention_dispatch": {
             f"{k[0]}:Lq={k[1]},Lk={k[2]}": v for k, v in sorted(counts.items())
         },
-        "flash_fallbacks": [list(k) for k in fallbacks],
+        # Scoped to flash-ENABLED runs only: with the default (flash off,
+        # measured slower — ops.attention), "shapes that wanted flash but
+        # traced XLA" is the intended routing, not a failure. The loud-fail
+        # check above fires only when flash is the configured path.
+        "flash_enabled": attn_mod.flash_enabled(),
+        "flash_fallbacks": (
+            [list(k) for k in fallbacks] if attn_mod.flash_enabled() else []
+        ),
         "flash_kernel": flash_probe,
         "decode_kernel": decode_probe,
         "prompt_encode_group": prompt_group,
@@ -630,7 +640,7 @@ def _bench_closed_loop(policy, params, capacity, n_envs=8, ep_steps=20):
     capacity = min(MAX_CAPACITY, _ceil_to((ep_steps + 2) * (1 + 2 * N_OBJS), CAPACITY_BUCKET))
     kwargs = dict(tokenize_prompt=tok, max_objs=N_OBJS, capacity=None, env_workers=4)
     env_sweep = {}
-    for ne in (8, 32, 64):
+    for ne in (8, 32, 64, 128):
         run_episode_batch(policy, params, make_envs(ne), **kwargs)  # compile+tune
         t0 = time.perf_counter()
         res = run_episode_batch(policy, params, make_envs(ne), **kwargs)
@@ -965,13 +975,14 @@ def _bench_train(rtt):
     model = os.environ.get("BENCH_TRAIN_MODEL", "vima-20m")
     BT, TT, N_CHAIN = 8, 6, 10
     BT_BIG = 32  # large-batch 200M entry (B=8 leaves the MXU starved)
+    BT_XL = 64  # chip-ceiling point (VERDICT r4 item 4)
     if os.environ.get("BENCH_TINY"):  # CPU smoke: tiny t5, 2-step chains
-        BT, BT_BIG, N_CHAIN = 2, 2, 2
+        BT, BT_BIG, BT_XL, N_CHAIN = 2, 2, 2, 2
     tok = PromptTokenizer(None, vocab_size=32128, offline=True)
 
     out = {"model": model, "batch_size": BT, "max_steps": TT}
     with tempfile.TemporaryDirectory() as tmp:
-        for i in range(max(BT, BT_BIG)):
+        for i in range(max(BT, BT_BIG, BT_XL)):
             env = FakeVimaEnv(seed=i, n_objects=N_OBJS, oracle_max_steps=TT - 2)
             ep = record_episode(env, tok, max_objs=N_OBJS, seed=i)
             save_episode(f"{tmp}/episode_{i:05d}.npz", ep)
@@ -991,6 +1002,9 @@ def _bench_train(rtt):
             variants.append(("200m_bf16_remat", jnp.bfloat16, "vima-200m", True, BT))
             variants.append(
                 ("200m_bf16_remat_b32", jnp.bfloat16, "vima-200m", True, BT_BIG)
+            )
+            variants.append(
+                ("200m_bf16_remat_b64", jnp.bfloat16, "vima-200m", True, BT_XL)
             )
         for dtype_name, dtype, vmodel, vremat, vbt in variants:
             if os.environ.get("BENCH_TINY"):
@@ -1046,6 +1060,48 @@ def _bench_train(rtt):
                     entry["est_mfu"] = round(fl / p50 / peak, 4)
             except Exception as e:
                 print(f"[bench] train cost_analysis unavailable: {e!r}", file=sys.stderr)
+            if dtype_name == "200m_bf16_remat_b64" or (
+                os.environ.get("BENCH_TINY") and dtype_name == "bf16"
+            ):
+                # the same step FED BY THE REAL DATA PATH: a packed
+                # train/shards.py root streamed batch-by-batch (mmap fancy-
+                # index + host stack + upload on every step), vs the
+                # resident synthetic batch above — measures input-pipeline
+                # overhead at the headline config (VERDICT r4 item 4)
+                from vima_tpu.train.shards import (
+                    ShardedTrajectoryDataset,
+                    pack_shards,
+                )
+
+                packed = f"{tmp}/packed"
+                if not os.path.exists(packed):
+                    pack_shards(
+                        tmp, packed, max_steps=TT, max_objs=N_OBJS,
+                        prompt_len=64, word_len=32, max_assets=2,
+                    )
+                sh = ShardedTrajectoryDataset(packed)
+                it = sh.batches(vbt, epochs=100_000)
+                m = trainer.step(jax.tree_util.tree_map(jnp.asarray, next(it)))
+                trainer.fetch(m)  # compile: word-bucketed shapes differ
+                s_samples = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    for _ in range(N_CHAIN):
+                        m = trainer.step(
+                            jax.tree_util.tree_map(jnp.asarray, next(it))
+                        )
+                    trainer.fetch({"loss": m["loss/total"]})
+                    s_samples.append((time.perf_counter() - t0 - rtt) / N_CHAIN)
+                sp50 = float(np.percentile(s_samples, 50))
+                entry["sharded_data_path"] = {
+                    "data_path": "sharded",
+                    "step_ms_p50": round(sp50 * 1e3, 2),
+                    "steps_per_sec": round(1.0 / sp50, 2),
+                    "input_pipeline_overhead_pct": round(
+                        100 * (sp50 - p50) / p50, 1
+                    ),
+                }
+                del sh, it
             out[dtype_name] = entry
             _phase(f"train {dtype_name} {vmodel}")
             del trainer, ds, batch, policy
@@ -1155,6 +1211,9 @@ def _run_section(section: str):
     from vima_tpu.ckpt.registry import get_config
     from vima_tpu.policy import init_params
 
+    from vima_tpu.ops import attention as attn_mod
+
+    attn_mod.reset_dispatch_counts()
     policy = get_config(MODEL).build()
     params = init_params(policy)
     if section == "closed_loop":
@@ -1163,6 +1222,20 @@ def _run_section(section: str):
         out = _bench_detector_loop(policy, params)
     else:
         raise SystemExit(f"unknown section {section}")
+    # Production-path kernel telemetry for THIS process (no probe arms run
+    # here): "xla-cached" counts cached attends that fell off the decode
+    # kernel — must be zero on TPU (VERDICT r4 item 7).
+    counts = attn_mod.dispatch_counts()
+    xla_cached = sum(n for k, n in counts.items() if k[0] == "xla-cached")
+    out["rollout_xla_cached_attends"] = xla_cached
+    out["attention_dispatch"] = {
+        f"{k[0]}:Lq={k[1]},Lk={k[2]}": v for k, v in sorted(counts.items())
+    }
+    if xla_cached and jax.default_backend() == "tpu":
+        raise RuntimeError(
+            f"{xla_cached} production cached attends fell back to XLA on "
+            f"TPU: {out['attention_dispatch']}"
+        )
     print(json.dumps(out))
 
 
@@ -1227,6 +1300,13 @@ def main():
         "train_bf16_mfu": _get(ours, "train", "bf16", "est_mfu"),
         "train_200m_mfu": _get(ours, "train", "200m_bf16_remat", "est_mfu"),
         "train_200m_b32_mfu": _get(ours, "train", "200m_bf16_remat_b32", "est_mfu"),
+        "train_200m_b64_mfu": _get(ours, "train", "200m_bf16_remat_b64", "est_mfu"),
+        "train_sharded_ms": _get(
+            ours, "train", "200m_bf16_remat_b64", "sharded_data_path", "step_ms_p50"
+        ),
+        "episodes_incl_sps": _get(
+            ours, "closed_loop_8env", "episodes_inclusive", "env_steps_per_sec"
+        ),
     }
     result = {
         "metric": f"p50_step_latency_{MODEL}",

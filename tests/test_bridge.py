@@ -404,7 +404,7 @@ def test_n_streams_param_and_autotune():
     assert all(r["n_streams"] == 1 for r in r_auto)  # min-batch cap at B=4
     # the call recorded tune stats; a second auto call must pick a divisor
     # of B within the stream caps
-    key = (id(policy), 4)
+    key = (id(policy), None, 4)
     assert key in env_loop._STREAM_TUNE
     n = env_loop._auto_streams(key, 4)
     assert n == 1
@@ -493,3 +493,30 @@ def test_closed_loop_batched_detector():
     assert calls["single"] == 0  # never fell back to per-env detection
     assert calls["batch"] >= 2  # initial obs + at least one step round
     assert calls["batch_envs"][0] == 2  # all envs in one call
+
+
+def test_batched_native_prep_matches_per_env_loop():
+    """prepare_objects_frames (one native call for N env-view frames) vs
+    the per-frame extract_objects path: masks/bboxes exact, crops within
+    the +-1 native-vs-cv2 INTER_AREA rounding. Skips pre-rebuild."""
+    from vima_tpu.native.crop_resize import prepare_objects_frames
+    from vima_tpu.bridge.obs_prep import extract_objects
+    from vima_tpu.bridge.fake_env import FakeVimaEnv
+
+    frames, segms, ids = [], [], []
+    for s in range(3):
+        env = FakeVimaEnv(seed=s, n_objects=4, img_hw=(64, 128))
+        obs = env.reset()
+        for v in env.views:
+            frames.append(np.asarray(obs["rgb"][v]))
+            segms.append(np.asarray(obs["segm"][v]))
+            ids.append(list(env.meta_info["obj_id_to_info"].keys()) + [99])
+    out = prepare_objects_frames(frames, segms, ids, max_objs=3)
+    if out is None:
+        pytest.skip("native lib predates prepare_objects_frames_u8")
+    crops, bboxes, masks = out
+    for i in range(len(frames)):
+        ch, bh, mh = extract_objects(frames[i], segms[i], ids[i], max_objs=3)
+        np.testing.assert_array_equal(masks[i], mh, err_msg=str(i))
+        np.testing.assert_array_equal(bboxes[i], bh, err_msg=str(i))
+        assert np.abs(crops[i].astype(int) - ch.astype(int)).max() <= 1, i

@@ -339,7 +339,9 @@ def run_episode_batch(
 
     # --- split into streams, then one bucketed encode per stream
     views = adapter.views
-    tune_key = (id(policy), B)
+    # detector identity is part of the tune key: the fused detector tick
+    # has a very different device/host balance than the policy-only tick
+    tune_key = (id(policy), id(detector) if detector is not None else None, B)
     if not pipeline or B < 2:
         n_streams = 1
     elif n_streams is None:
@@ -454,6 +456,47 @@ def run_episode_batch(
                 detector=None if batched_det else detector,
             )
 
+    # oracle-segm fast tier: the whole segm->bbox->crop pipeline for a
+    # stream's envs x views in ONE native call per tick (the per-env Python
+    # loop is GIL-bound and was the 128-env bottleneck — round-4 VERDICT
+    # item 6; crops match the per-env path within the +-1 native-vs-cv2
+    # INTER_AREA rounding, bboxes/masks exactly)
+    from vima_tpu.native.crop_resize import prepare_objects_frames
+
+    batched_host = (
+        fused_step is None
+        and not batched_det
+        and detector is None
+        and adapter.kind == "objects"
+    )
+
+    def _batch_host_prep(pairs):
+        frames, segms, ids = [], [], []
+        for b, obs in pairs:
+            obj_ids = list(envs[b].meta_info["obj_id_to_info"].keys())
+            for v in views:
+                frames.append(np.asarray(obs["rgb"][v]))
+                segms.append(np.asarray(obs["segm"][v]))
+                ids.append(obj_ids)
+        out = prepare_objects_frames(frames, segms, ids, max_objs=max_objs)
+        if out is None:  # lib/symbol unavailable or hostile geometry
+            for b, obs in pairs:
+                prepared[b] = _prep(b, obs)
+            return
+        crops, bboxes, masks = out
+        V = len(views)
+        for i, (b, obs) in enumerate(pairs):
+            objects = {"cropped_img": {}, "bbox": {}, "mask": {}}
+            for vi, v in enumerate(views):
+                k = i * V + vi
+                objects["cropped_img"][v] = crops[k][None]
+                objects["bbox"][v] = bboxes[k][None]
+                objects["mask"][v] = masks[k][None]
+            prepared[b] = {
+                "objects": objects,
+                "ee": np.asarray([obs["ee"]], dtype=np.int32),
+            }
+
     def _batch_detect_prep(pairs):
         """pairs: [(b, obs)] -> fills prepared[b] with detector-segm obs."""
         segs = detector.detect_batch([obs["rgb"] for _, obs in pairs])
@@ -463,9 +506,15 @@ def run_episode_batch(
             # detector flow), not the simulator's ground-truth id universe
             prepared[b] = adapter.prep_obs(obs, None, max_objs=max_objs)
 
+    # deferred (whole-group) prep tier, if any: batched detector or batched
+    # native host prep — envs collect into one call per stream tick
+    _deferred_prep = (
+        _batch_detect_prep if batched_det else (_batch_host_prep if batched_host else None)
+    )
+
     prepared = [None] * B
-    if batched_det:
-        _batch_detect_prep([(b, obs_list[b]) for b in range(B)])
+    if _deferred_prep is not None:
+        _deferred_prep([(b, obs_list[b]) for b in range(B)])
     else:
         prepared = [_prep(b, obs_list[b]) for b in range(B)]
 
@@ -502,8 +551,11 @@ def run_episode_batch(
                 # last resort: reset won't come back either — mark failed,
                 # keep the batch alive
                 return b, obs_list[b], True, {"success": False}, None, False
-            return b, obs, False, {}, None if batched_det else _prep(b, obs), True
-        prep = None if (d or batched_det) else _prep(b, obs)
+            return (
+                b, obs, False, {},
+                None if _deferred_prep is not None else _prep(b, obs), True,
+            )
+        prep = None if (d or _deferred_prep is not None) else _prep(b, obs)
         return b, obs, d, info, prep, False
 
     def _complete(s):
@@ -531,7 +583,7 @@ def run_episode_batch(
             else [_env_task(t) for t in tasks]
         )
         restarted = []
-        pending = []  # batched-detector envs awaiting segm + prep
+        pending = []  # deferred-prep envs awaiting the whole-group call
         for b, obs, d, info, prep, was_restart in stepped:
             results[b]["step_latencies"].append(dt)
             obs_list[b] = obs
@@ -553,7 +605,7 @@ def run_episode_batch(
             else:
                 prepared[b] = prep
         if pending:
-            _batch_detect_prep(pending)
+            _deferred_prep(pending)
         if restarted:
             reset_mask = jnp.asarray(
                 np.isin(np.asarray(s["ids"]), restarted), bool

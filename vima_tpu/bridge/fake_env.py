@@ -106,6 +106,85 @@ class FakeVimaEnv:
         return self
 
 
+def scripted_target_bins(obs, views=("front", "top")) -> Dict[str, np.ndarray]:
+    """Deterministic visuomotor demonstration policy: discrete action bins
+    computed from the CURRENT observation (the first visible object's
+    center in each view -> position bins; rotations zero). Used as the
+    oracle for ``ScriptedTargetEnv`` — a BC-trained policy succeeds there
+    iff it reproduces this obs->action mapping, which is the end-to-end
+    train->act evidence the fake env's random success flag cannot give.
+    """
+    from vima_tpu.bridge.obs_prep import segm_bboxes
+
+    views = sorted(views)
+
+    def first_center(v):
+        segm = np.asarray(obs["segm"][v])
+        by_id = segm_bboxes(segm)
+        for oid in sorted(by_id):
+            ymin, ymax, xmin, xmax, n_px = by_id[oid]
+            if n_px >= 2:
+                return (ymin + ymax) // 2, (xmin + xmax) // 2, segm.shape
+        return 0, 0, segm.shape
+
+    out = {}
+    for pose, v in zip(("pose0", "pose1"), views):
+        yc, xc, (H, W) = first_center(v)
+        out[f"{pose}_position"] = np.asarray(
+            [min(49, yc * 50 // H), min(99, xc * 100 // W)], np.int64
+        )
+        out[f"{pose}_rotation"] = np.zeros(4, np.int64)
+    return out
+
+
+class ScriptedTargetEnv(FakeVimaEnv):
+    """FakeVimaEnv whose success is DEFINED by behavior: the episode
+    succeeds iff EVERY step's (continuous, bounded) action matches the
+    ``scripted_target_bins`` demonstration for the observation it acted
+    on, within half an action bin. Obs generation is inherited (and
+    independent of the actions), so same-seed envs replay identical
+    episodes for recording and closed-loop evaluation."""
+
+    def reset(self):
+        obs = super().reset()
+        self._last_obs = obs
+        self._all_matched = True
+        return obs
+
+    def _matches_target(self, action) -> bool:
+        target = scripted_target_bins(self._last_obs, views=self.views)
+        lo = np.asarray(self.meta_info["action_bounds"]["low"], np.float64)
+        hi = np.asarray(self.meta_info["action_bounds"]["high"], np.float64)
+        pos_div = np.asarray([50.0, 100.0])
+        ok = True
+        for pose in ("pose0", "pose1"):
+            tpos = np.clip(
+                target[f"{pose}_position"] / pos_div * (hi - lo) + lo, lo, hi
+            )
+            trot = np.clip(target[f"{pose}_rotation"] / 50.0 * 2.0 - 1.0, -1.0, 1.0)
+            ok &= bool(
+                np.all(
+                    np.abs(np.asarray(action[f"{pose}_position"], np.float64) - tpos)
+                    <= 0.4 * (hi - lo) / pos_div
+                )
+            )
+            ok &= bool(
+                np.all(
+                    np.abs(np.asarray(action[f"{pose}_rotation"], np.float64) - trot)
+                    <= 0.4 * (2.0 / 50.0)
+                )
+            )
+        return ok
+
+    def step(self, action: Dict):
+        self._all_matched &= self._matches_target(action)
+        self._steps += 1
+        done = self._steps >= self.task.oracle_max_steps
+        obs = self._obs()
+        self._last_obs = obs
+        return obs, 0.0, done, {"success": done and self._all_matched}
+
+
 class ReplayEnv:
     """Replays a recorded episode: obs sequence + prompt + meta."""
 

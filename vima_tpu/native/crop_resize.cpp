@@ -120,7 +120,42 @@ void resize_area_one(const uint8_t* src, int sh, int sw, int c,
 
 }  // namespace
 
+namespace {
+
+// One crop: [ymin..ymax]x[xmin..xmax] inclusive from a (3, H, W) CHW
+// frame, zero-pad to centered square (reference example.py:417-428),
+// INTER_AREA resize to (out, out), write CHW uint8 into dst.
+void crop_pad_resize_one(const uint8_t* frame, int H, int W, int ymin,
+                         int ymax, int xmin, int xmax, int out, uint8_t* dst,
+                         std::vector<uint8_t>& hwc,
+                         std::vector<uint8_t>& resized) {
+  const int h = ymax - ymin + 1, w = xmax - xmin + 1;
+  const int side = std::max(h, w);
+  const int py = (side - h) / 2, px = (side - w) / 2;
+  hwc.assign(static_cast<size_t>(side) * side * 3, 0);
+  for (int y = 0; y < h; ++y) {
+    for (int x = 0; x < w; ++x) {
+      for (int ch = 0; ch < 3; ++ch) {
+        hwc[((static_cast<size_t>(y + py) * side) + (x + px)) * 3 + ch] =
+            frame[(static_cast<size_t>(ch) * H + (ymin + y)) * W + (xmin + x)];
+      }
+    }
+  }
+  resized.resize(static_cast<size_t>(out) * out * 3);
+  resize_area_one(hwc.data(), side, side, 3, resized.data(), out, out);
+  for (int y = 0; y < out; ++y)
+    for (int x = 0; x < out; ++x)
+      for (int ch = 0; ch < 3; ++ch)
+        dst[(static_cast<size_t>(ch) * out + y) * out + x] =
+            resized[(static_cast<size_t>(y) * out + x) * 3 + ch];
+}
+
+}  // namespace
+
 extern "C" {
+
+void segm_bboxes_i32(const int32_t* segm, int h, int w, int max_id,
+                     int32_t* out);  // defined below
 
 // Single image: src (sh, sw, c) uint8 HWC -> dst (dh, dw, c).
 void resize_inter_area_u8(const uint8_t* src, int sh, int sw, int c,
@@ -128,38 +163,69 @@ void resize_inter_area_u8(const uint8_t* src, int sh, int sw, int c,
   resize_area_one(src, sh, sw, c, dst, dh, dw);
 }
 
-// Batched crop+pad-square+resize: for each of n boxes on a (3, H, W) CHW
-// frame, crop [ymin..ymax]x[xmin..xmax] inclusive, zero-pad to square
-// (centered, reference example.py:417-428), resize to (out, out), write
-// CHW uint8 into dst[(i, 3, out, out)].
+// Batched crop+pad-square+resize over one frame (see crop_pad_resize_one).
 void crop_pad_resize_batch_u8(const uint8_t* frame, int H, int W,
                               const int* boxes,  // (n, 4): ymin ymax xmin xmax
                               int n, int out, uint8_t* dst) {
   std::vector<uint8_t> hwc;
-  std::vector<uint8_t> resized(static_cast<size_t>(out) * out * 3);
+  std::vector<uint8_t> resized;
   for (int i = 0; i < n; ++i) {
-    const int ymin = boxes[i * 4 + 0], ymax = boxes[i * 4 + 1];
-    const int xmin = boxes[i * 4 + 2], xmax = boxes[i * 4 + 3];
-    const int h = ymax - ymin + 1, w = xmax - xmin + 1;
-    const int side = std::max(h, w);
-    const int py = (side - h) / 2, px = (side - w) / 2;
-    hwc.assign(static_cast<size_t>(side) * side * 3, 0);
-    for (int y = 0; y < h; ++y) {
-      for (int x = 0; x < w; ++x) {
-        for (int ch = 0; ch < 3; ++ch) {
-          hwc[((static_cast<size_t>(y + py) * side) + (x + px)) * 3 + ch] =
-              frame[(static_cast<size_t>(ch) * H + (ymin + y)) * W + (xmin + x)];
-        }
-      }
+    crop_pad_resize_one(frame, H, W, boxes[i * 4 + 0], boxes[i * 4 + 1],
+                        boxes[i * 4 + 2], boxes[i * 4 + 3], out,
+                        dst + static_cast<size_t>(i) * 3 * out * out, hwc,
+                        resized);
+  }
+}
+
+// The WHOLE host obs-prep pipeline for N (env, view) frames in ONE call:
+// per frame, one-pass segm bbox extraction, then — iterating its candidate
+// ids in the GIVEN order — objects with >= 2 pixels fill compacted slots
+// (bbox features [xc, yc, h, w] with truncating centers, crop + center-pad
+// + INTER_AREA resize) up to max_objs. Byte-identical to the Python
+// per-env loop in bridge/obs_prep (extract_objects), which at 128 parallel
+// envs costs a GIL-bound Python dispatch per env per view per tick.
+//
+// frames: N pointers to (3, H, W) uint8; segms: N pointers to (H, W)
+// int32. ids_flat/ids_start: per-frame candidate id lists (CSR layout,
+// ids_start has N+1 entries). Outputs (caller-zeroed):
+// crops (N, max_objs, 3, out, out) u8; bboxes (N, max_objs, 4) i32;
+// masks (N, max_objs) u8.
+void prepare_objects_frames_u8(const uint8_t* const* frames,
+                               const int32_t* const* segms, int N, int H,
+                               int W, const int32_t* ids_flat,
+                               const int32_t* ids_start, int max_objs,
+                               int out_res, uint8_t* crops, int32_t* bboxes,
+                               uint8_t* masks) {
+  std::vector<int32_t> bb;
+  std::vector<uint8_t> hwc, resized;
+  for (int i = 0; i < N; ++i) {
+    const int32_t* ids = ids_flat + ids_start[i];
+    const int n_ids = ids_start[i + 1] - ids_start[i];
+    int32_t max_id = 0;
+    for (int j = 0; j < n_ids; ++j) max_id = std::max(max_id, ids[j]);
+    if (max_id <= 0) continue;
+    bb.resize(static_cast<size_t>(max_id + 1) * 5);
+    segm_bboxes_i32(segms[i], H, W, max_id, bb.data());
+    int slot = 0;
+    for (int j = 0; j < n_ids && slot < max_objs; ++j) {
+      const int32_t id = ids[j];
+      if (id <= 0 || id > max_id) continue;
+      const int32_t* r = bb.data() + static_cast<size_t>(id) * 5;
+      if (r[4] < 2) continue;  // absent or <2 px (reference example.py:408-411)
+      const int ymin = r[0], ymax = r[1], xmin = r[2], xmax = r[3];
+      int32_t* box = bboxes + (static_cast<size_t>(i) * max_objs + slot) * 4;
+      box[0] = (xmin + xmax) / 2;
+      box[1] = (ymin + ymax) / 2;
+      box[2] = ymax - ymin;
+      box[3] = xmax - xmin;
+      crop_pad_resize_one(
+          frames[i], H, W, ymin, ymax, xmin, xmax, out_res,
+          crops + (static_cast<size_t>(i) * max_objs + slot) * 3 * out_res *
+                      out_res,
+          hwc, resized);
+      masks[static_cast<size_t>(i) * max_objs + slot] = 1;
+      ++slot;
     }
-    resize_area_one(hwc.data(), side, side, 3, resized.data(), out, out);
-    // HWC -> CHW
-    uint8_t* d = dst + static_cast<size_t>(i) * 3 * out * out;
-    for (int y = 0; y < out; ++y)
-      for (int x = 0; x < out; ++x)
-        for (int ch = 0; ch < 3; ++ch)
-          d[(static_cast<size_t>(ch) * out + y) * out + x] =
-              resized[(static_cast<size_t>(y) * out + x) * 3 + ch];
   }
 }
 

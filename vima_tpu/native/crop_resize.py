@@ -35,8 +35,71 @@ def _load():
                 ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
                 ctypes.c_int, ctypes.POINTER(ctypes.c_int32),
             ]
+        if hasattr(lib, "prepare_objects_frames_u8"):
+            lib.prepare_objects_frames_u8.argtypes = [
+                ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_void_p),
+                ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_uint8),
+            ]
         _lib = lib
     return _lib
+
+
+def prepare_objects_frames(frames, segms, ids_per_frame, *, max_objs: int, out_res: int = 32):
+    """The whole segm->bbox->crop pipeline for N (env, view) frames in ONE
+    native call (see crop_resize.cpp). Returns (crops (N, max_objs, 3, R,
+    R) u8, bboxes (N, max_objs, 4) i32, masks (N, max_objs) bool), or None
+    when the library (or symbol, pre-rebuild) is unavailable — callers
+    fall back to the per-frame Python loop (identical output).
+
+    frames: list of (3, H, W) uint8; segms: list of (H, W) arrays (any int
+    dtype); ids_per_frame: per-frame candidate object ids, host order.
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, "prepare_objects_frames_u8"):
+        return None
+    N = len(frames)
+    if N == 0:
+        return (
+            np.zeros((0, max_objs, 3, out_res, out_res), np.uint8),
+            np.zeros((0, max_objs, 4), np.int32),
+            np.zeros((0, max_objs), bool),
+        )
+    H, W = frames[0].shape[1:]
+    frames_c = [np.ascontiguousarray(f, dtype=np.uint8) for f in frames]
+    segms_c = [np.ascontiguousarray(s, dtype=np.int32) for s in segms]
+    if any(f.shape != (3, H, W) for f in frames_c) or any(
+        s.shape != (H, W) for s in segms_c
+    ):
+        return None  # mixed geometries: fall back
+    ids_flat, starts = [], [0]
+    for ids in ids_per_frame:
+        good = [int(i) for i in ids if 0 < int(i) <= 4096]
+        if len(good) != len(ids):  # hostile id range: numpy fallback
+            return None
+        ids_flat.extend(good)
+        starts.append(len(ids_flat))
+    ids_flat = np.asarray(ids_flat or [0], np.int32)
+    starts = np.asarray(starts, np.int32)
+
+    fptrs = (ctypes.c_void_p * N)(*[f.ctypes.data for f in frames_c])
+    sptrs = (ctypes.c_void_p * N)(*[s.ctypes.data for s in segms_c])
+    crops = np.zeros((N, max_objs, 3, out_res, out_res), np.uint8)
+    bboxes = np.zeros((N, max_objs, 4), np.int32)
+    masks = np.zeros((N, max_objs), np.uint8)
+    lib.prepare_objects_frames_u8(
+        fptrs, sptrs, N, H, W,
+        ids_flat.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        max_objs, out_res,
+        _as_u8_ptr(crops),
+        bboxes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        _as_u8_ptr(masks),
+    )
+    return crops, bboxes, masks.astype(bool)
 
 
 def native_available() -> bool:

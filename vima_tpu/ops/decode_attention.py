@@ -660,6 +660,11 @@ def cached_attend(
             q_offset=q_offset,
             causal=causal,
         )
+    # Distinct counter key for PRODUCTION cached attends that fell back:
+    # bench probes call xla_cached_attend directly (comparison arms), so
+    # "xla-cached" unambiguously means the serving path routed off-kernel
+    # (bench asserts zero of these on TPU; see bench._run_section).
+    attn_mod._note_dispatch("xla-cached", C, S)
     return xla_cached_attend(
         q,
         cache_k,
