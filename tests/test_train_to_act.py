@@ -78,11 +78,19 @@ def test_bc_trained_policy_succeeds_closed_loop(tmp_path):
     trainer = Trainer(policy, make_mesh(), learning_rate=2e-3)
     trainer.init(init_params(policy))
     metrics = {}
+    # train until every action component is argmax-correct on the batch,
+    # then keep going: the closed loop recomputes the same logits through
+    # the cached-rollout path (different op order), so first-perfect-step
+    # margins can be within numeric noise — extra overfitting steps widen
+    # every argmax gap far past it
+    extra_after_perfect = 60
     for step in range(400):
         metrics = trainer.fetch(trainer.step(batch))
         accs = [v for k, v in metrics.items() if k.startswith("acc/")]
         if accs and min(accs) >= 1.0:
-            break
+            if extra_after_perfect <= 0:
+                break
+            extra_after_perfect -= 1
     assert metrics, "no training steps ran"
     accs = {k: v for k, v in metrics.items() if k.startswith("acc/")}
     assert accs and min(accs.values()) >= 1.0, (
